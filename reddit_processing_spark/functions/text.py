@@ -1,0 +1,127 @@
+"""Text-analysis functions for training-data pipelines — all built-in
+Column expressions (JVM-side, whole-stage-codegen'd; zero Python on
+the row path).
+
+Provided: whitespace + BPE-ish token counting, quality scoring
+(length/punct/stopword ratios), n-gram-heuristic language ID,
+rolling-hash document fingerprinting, char shingling.
+
+Every function returns a Column so it composes into any plan and
+pushes through Catalyst; the DuckDB-oracle harness cross-checks the
+portable subset (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: letter runs, digit runs, single non-space symbols
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"],
+}
+
+
+def ws_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, "\\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(ws_tokens(text)).cast("long")
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish subword units (letter runs / digit runs /
+    single symbols) — a cheap, deterministic proxy for tokenizer
+    budgeting."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0)).cast("long")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.size(F.regexp_extract_all(c, F.lit("[!-/:-@\\[-`{-~]"), 0))
+    return (n_punct / F.greatest(F.length(c), F.lit(1))).cast("double")
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = F.transform(ws_tokens(text), lambda x: F.lower(x))
+    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
+    return (hits / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punct-heavy,
+    carries stopwords (i.e. looks like prose)."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(punct_ratio(c) * 4.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 3.0, F.lit(1.0))
+    return ((len_score + punct_penalty + stop_score) / 3.0).cast("double")
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-voting language ID over {en,es,de,fr}; 'und' when no
+    language scores a hit. Deterministic tie-break: highest hits, then
+    alphabetical language code."""
+    toks = F.transform(ws_tokens(text), lambda x: F.lower(x))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, lambda x: x.isin(*words))).alias("hits"),
+                F.lit(code).alias("lang"),
+            )
+            for code, words in sorted(STOPWORDS.items())
+        ]
+    )
+    # array_max on struct compares fieldwise: max hits, then max lang —
+    # to get alphabetical-first ties we invert via sort + element_at.
+    best = F.element_at(
+        F.array_sort(
+            scored,
+            lambda a, b: F.when(a["hits"] > b["hits"], -1)
+            .when(a["hits"] < b["hits"], 1)
+            .when(a["lang"] < b["lang"], -1)
+            .when(a["lang"] > b["lang"], 1)
+            .otherwise(0),
+        ),
+        1,
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """64-bit rolling document fingerprint: xxhash64 of the
+    whitespace-normalized, lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.lower(F.regexp_replace(F.trim(c), "\\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Array of k-char shingles (for MinHash); shorter texts yield the
+    whole text as the single shingle."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    return F.when(n <= k, F.array(c)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k) + 1),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+    )
+
+
+def shingle_hashes(text: Column | str, k: int = 5) -> Column:
+    """Distinct xxhash64 values of the k-char shingle set."""
+    return F.array_distinct(F.transform(char_shingles(text, k), F.xxhash64))

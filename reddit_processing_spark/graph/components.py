@@ -1,0 +1,103 @@
+"""Connected components via hash-min iteration (BASELINE.json
+north_rule: "connected components (hash-min iteration)").
+
+Each superstep every vertex broadcasts its current component id (the
+minimum vid seen so far) to its neighbors; the new state is the
+elementwise min (SURVEY.md §2.4 A3 — ``union + groupBy(min)`` instead
+of an outer join: one exchange, no null branches, §4.3). Converges in
+O(diameter) supersteps; exact (integer) so results are identical at
+any parallelism.
+
+Scale: the symmetrized edge table is shuffled once at setup and
+persisted hash-partitioned by ``src``; each superstep shuffles only
+the (vid, comp) state (|V| rows) for the join and the min-aggregate.
+The changed-count early exit also enables frontier-style semi-join
+pruning (not needed at current scales; the full-relation min is
+map-side combined).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..plans.ckpt import CheckpointManager
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected simple edge view: both directions, no self-loops,
+    distinct."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 50,
+    ckpt_dir: str | None = None,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Returns (vid, comp) with comp = min vid of the component."""
+    import tempfile
+
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ckpt = CheckpointManager(ckpt_dir or tempfile.mkdtemp(prefix="cc_ckpt_"), "components")
+
+    sym = symmetrize(edges).repartition(P, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    vertices = sym.select(F.col("src").alias("vid")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # (sym carries both directions, so src alone covers every endpoint)
+
+    start = 0
+    comps = vertices.select("vid", F.col("vid").alias("comp"))
+    if resume:
+        last = ckpt.latest_valid_step()
+        if last is not None:
+            start = last
+            comps = ckpt.read(spark, last)
+
+    for step in range(start, max_iter):
+        t0 = time.monotonic()
+        msgs = sym.join(comps, sym.src == comps.vid).select(
+            sym.dst.alias("vid"), "comp"
+        )
+        new = (
+            comps.unionByName(msgs)
+            .groupBy("vid")
+            .agg(F.min("comp").alias("comp"))
+        )
+        written = ckpt.write(new, step + 1)
+        old = comps.select(F.col("vid").alias("ovid"), F.col("comp").alias("ocomp"))
+        changed = (
+            written.join(old, written.vid == F.col("ovid"))
+            .filter(F.col("comp") != F.col("ocomp"))
+            .count()
+        )
+        _annotate(ckpt, step + 1, {"changed": changed}, int((time.monotonic() - t0) * 1000))
+        comps = written
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    vertices.unpersist()
+    return comps
+
+
+def _annotate(ckpt: CheckpointManager, step: int, metrics: dict, wall_ms: int) -> None:
+    import json
+    import os
+
+    p = ckpt.manifest_path(step)
+    with open(p) as fh:
+        m = json.load(fh)
+    m["metrics"] = metrics
+    m["wall_ms"] = wall_ms
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+    os.rename(tmp, p)

@@ -1,0 +1,135 @@
+"""Checkpoint manager: per-superstep state + manifest, resumable.
+
+Every superstep of an iterative graph algorithm ends in a
+materializing Parquet write (the write IS the lineage-truncation
+barrier — SURVEY.md §4.2.1) plus a JSON manifest recording
+per-partition lineage (file, rows, bytes) and delta metrics
+(BASELINE.json north_rule: "resumable from checkpoint with
+per-partition lineage + metrics").
+
+Layout:
+    {base}/{algo}/step=00004/part-*.parquet + _SUCCESS
+    {base}/{algo}/manifest_00004.json
+
+Atomicity on a filesystem: Spark's job commit protocol gives us
+_SUCCESS-gated directories; the manifest is written to a temp path
+and os.rename'd (atomic on POSIX). ``resume`` only trusts a step
+whose _SUCCESS, manifest, and footer row counts all agree.
+
+On a real cluster the same class targets an Iceberg table (snapshot
+per superstep) — the sandbox has no Iceberg runtime jar, so the
+Parquet+manifest backend is the tested path (SURVEY.md §4.2.7).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointManager:
+    def __init__(self, base: str, algo: str):
+        self.base = base
+        self.algo = algo
+        self.dir = os.path.join(base, algo)
+        os.makedirs(self.dir, exist_ok=True)
+
+    # ---- paths -----------------------------------------------------
+    def step_path(self, step: int) -> str:
+        return os.path.join(self.dir, f"step={step:05d}")
+
+    def manifest_path(self, step: int) -> str:
+        return os.path.join(self.dir, f"manifest_{step:05d}.json")
+
+    # ---- write -----------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        step: int,
+        metrics: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Write state for ``step``; returns the read-back DataFrame
+        (fresh lineage). Partition lineage comes from the committed
+        parquet footers — no extra Spark job."""
+        t0 = time.monotonic()
+        path = self.step_path(step)
+        df.write.mode("overwrite").parquet(path)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        import pyarrow.parquet as pq
+
+        partitions = []
+        total_rows = 0
+        for i, f in enumerate(sorted(glob.glob(os.path.join(path, "part-*.parquet")))):
+            md = pq.read_metadata(f)
+            partitions.append(
+                {
+                    "pid": i,
+                    "file": os.path.basename(f),
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(f),
+                }
+            )
+            total_rows += md.num_rows
+
+        manifest = {
+            "algo": self.algo,
+            "superstep": step,
+            "snapshot": path,
+            "rows": total_rows,
+            "partitions": partitions,
+            "wall_ms": wall_ms,
+            "metrics": metrics or {},
+        }
+        tmp = self.manifest_path(step) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, self.manifest_path(step))
+
+        spark = df.sparkSession
+        return spark.read.parquet(path)
+
+    # ---- resume ----------------------------------------------------
+    def manifests(self) -> list[dict[str, Any]]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self.dir, "manifest_*.json"))):
+            try:
+                with open(p) as fh:
+                    out.append(json.load(fh))
+            except (OSError, json.JSONDecodeError):
+                continue
+        return out
+
+    def latest_valid_step(self) -> int | None:
+        """Highest superstep whose _SUCCESS + manifest + footer row
+        counts agree; None when no valid checkpoint exists."""
+        import pyarrow.parquet as pq
+
+        for m in reversed(self.manifests()):
+            path = m["snapshot"]
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                continue
+            try:
+                rows = sum(
+                    pq.read_metadata(f).num_rows
+                    for f in glob.glob(os.path.join(path, "part-*.parquet"))
+                )
+            except OSError:
+                continue
+            if rows == m["rows"]:
+                return int(m["superstep"])
+        return None
+
+    def read(self, spark: SparkSession, step: int) -> DataFrame:
+        return spark.read.parquet(self.step_path(step))
+
+    def metrics_history(self) -> list[dict[str, Any]]:
+        return [
+            {"superstep": m["superstep"], "wall_ms": m["wall_ms"], **m.get("metrics", {})}
+            for m in self.manifests()
+        ]

@@ -28,6 +28,17 @@ def get_spark(
     ``local[*]``. ``shuffle_partitions`` defaults to 2x the local core
     count — AQE coalesces smaller stages at runtime.
     """
+    # Make the engine importable by Python WORKER processes regardless of
+    # the driver's cwd/sys.path (workers get PYTHONPATH, not driver
+    # sys.path). On a real cluster the same is achieved with
+    # ``spark-submit --py-files dist/engine.zip``; see jobs/.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
