@@ -124,4 +124,4 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
 
 def shingle_hashes(text: Column | str, k: int = 5) -> Column:
     """Distinct xxhash64 values of the k-char shingle set."""
-    return F.array_distinct(F.transform(char_shingles(text, k), F.xxhash64))
+    return F.array_distinct(F.transform(char_shingles(text, k), lambda s: F.xxhash64(s)))

@@ -1,0 +1,147 @@
+"""Text functions, multimodal plumbing, split/merge reorganization,
+streaming edge derivation, and a known-answer triangle fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_processing_spark.functions import text as TXT
+from reddit_processing_spark.functions.multimodal import (
+    extract_features,
+    fake_decode,
+    frame_sample_plan,
+    synthetic_media,
+)
+from reddit_processing_spark.graph.triangles import triangle_count
+from reddit_processing_spark.operators.split_merge import (
+    consolidate_as_lists,
+    merge_consolidate,
+    split_to_buckets,
+)
+
+
+def test_text_functions(spark):
+    rows = [
+        (1, "the cat and the dog, in a house!"),
+        (2, "el perro y el gato en la casa"),
+        (3, ""),
+        (4, "   "),
+        (5, "x" * 600),
+        (6, "der hund und die katze ist von den"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = df.select(
+        "doc_id",
+        TXT.token_count("text").alias("tc"),
+        TXT.bpe_token_count("text").alias("bc"),
+        TXT.lang_id("text").alias("lang"),
+        TXT.punct_ratio("text").alias("pr"),
+        TXT.quality_score("text").alias("q"),
+        TXT.fingerprint("text").alias("fp"),
+    ).toPandas().set_index("doc_id")
+    assert got.loc[1, "tc"] == 8
+    assert got.loc[3, "tc"] == 0 and got.loc[4, "tc"] == 0
+    assert got.loc[1, "lang"] == "en"
+    assert got.loc[2, "lang"] == "es"
+    assert got.loc[6, "lang"] == "de"
+    assert got.loc[3, "lang"] == "und"
+    assert got.loc[1, "bc"] == 10  # 8 words + comma + bang
+    assert 0 < got.loc[1, "pr"] < 0.2
+    assert (got["q"] >= 0).all() and (got["q"] <= 1).all()
+    # fingerprint: whitespace/case normalization collapses variants
+    df2 = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "hello worlds")],
+        "doc_id int, text string",
+    )
+    fps = df2.select(TXT.fingerprint("text").alias("fp")).toPandas()["fp"]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=32)
+    feats = extract_features(media).toPandas().sort_values("media_id")
+    assert len(feats) == 32
+    assert all(len(f) == 8 for f in feats["feature"])
+    # deterministic: matches the local decode of the same payload
+    m0 = media.filter(F.col("media_id") == 0).collect()[0]
+    expect = fake_decode(m0.payload, m0.kind)
+    got = np.array(feats.iloc[0]["feature"], dtype=np.float32)
+    assert np.allclose(got, expect)
+    # frame sampling fan-out is declarative
+    frames = frame_sample_plan(media, every_ms=1000).toPandas()
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert len(frames) == n_videos * 4  # 0,1000,2000,3000 ms
+
+
+def test_split_merge_roundtrip(spark, tiny_dir):
+    t = spark.read.parquet(tiny_dir)
+    bucketed = split_to_buckets(t, "conv_id", 8)
+    assert bucketed.select("bucket").distinct().count() <= 8
+    # same key always lands in the same bucket
+    assert (
+        bucketed.groupBy("conv_id")
+        .agg(F.countDistinct("bucket").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+        == 0
+    )
+    merged = merge_consolidate(t, "conv_id", ["turn_idx", "ts"], 8)
+    assert merged.count() == t.count()
+    lists = consolidate_as_lists(t, "conv_id", "ts", ["ts", "role", "text"])
+    row = lists.filter(F.col("conv_id") == "c00000001").collect()[0]
+    assert row.n_records == 5
+    ts_list = [r.ts for r in row.records]
+    assert ts_list == sorted(ts_list)
+
+
+def test_triangles_known_answer(spark):
+    """Non-trivial planted topology (the fixture graph is triangle-free,
+    so this pins real counts): K4 plus a pendant edge."""
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in
+         [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]],
+        "src long, dst long, w double",
+    )
+    for oriented in (True, False):
+        got = {r.vid: r.tri for r in triangle_count(spark, edges, degree_oriented=oriented).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}, f"oriented={oriented}"
+
+
+def test_streaming_edges_and_counts(spark, tiny_dir, tmp_path):
+    from reddit_processing_spark.streaming.incremental import (
+        read_transcript_stream,
+        streaming_edges_foreach_batch,
+        streaming_turn_counts,
+    )
+
+    stream = read_transcript_stream(spark, tiny_dir, max_files_per_trigger=1)
+    sink = str(tmp_path / "edges")
+    q = streaming_edges_foreach_batch(
+        stream, sink, str(tmp_path / "ckpt"), n_users=66
+    ).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    # batch equivalence: same fixture through the batch extractor
+    from reddit_processing_spark.operators.extract import derive_edges
+
+    batch_edges, _ = derive_edges(spark.read.parquet(tiny_dir), n_users=66)
+    assert got.count() == batch_edges.count()
+
+    # windowed streaming aggregation with watermark + in-watermark dedup
+    stream2 = read_transcript_stream(spark, tiny_dir)
+    agg = streaming_turn_counts(stream2)
+    q2 = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("turn_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    res = spark.sql("select sum(n_turns) s from turn_counts").collect()[0].s
+    # append mode only emits windows the watermark has closed; with a
+    # finite file source all windows eventually close except the newest
+    assert res is None or res > 0
