@@ -1,38 +1,1071 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship multi-join aggregation on sf0.001.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (scans, projections, joins incl. semi/anti/outer, hash
+and cube/rollup aggregations, windows, sorts/top-k, set ops, scalar
+string/date/json/array functions, dedup, similarity search, text
+analysis, and the graph layer). ``oracle_sql()`` returns the DuckDB
+equivalent for every SQL-expressible query; iterative graph fixpoints
+and hash-sketch dedup are rows-only (documented at each entry).
+
+Alignment rules used throughout (driver hashes values order-
+insensitively but exactly):
+- every computed column is aliased IDENTICALLY on both sides;
+- float aggregates are rounded on both sides (sum→2dp, ratio/avg→4dp)
+  so double accumulation-order noise cannot flip the hash;
+- integer sums are cast to BIGINT on both sides (DuckDB's sum(int)
+  widens to HUGEINT, Spark's to long).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TINY_N_USERS = 66  # tiny fixture: 200 convs // 3 (oracle/extract.py rule)
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _fixture_dir() -> str:
+    from reddit_processing_spark.sources.fixtures import ensure_fixture
+
+    return ensure_fixture("tiny")
+
+
+def _fixture_glob() -> str:
+    return os.path.join(_fixture_dir(), "*.parquet")
+
+
+# ===================================================================
+# entry — flagship query (driver smoke check, sf0.001)
+# ===================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Regional monthly revenue: 6-table join + date bucketing + agg.
+
+    Exercises scan pruning, broadcast dims, shuffle agg, and global
+    sort in one plan (SURVEY.md §2.1-2.6).
+    """
+    sf = "/root/testdata/sf0.001"
+    li, o, c, n, r = (
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "region"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("region", "month")
+    )
+
+
+# ===================================================================
+# query registry: name -> (spark_fn, oracle_sql | None)
+# ===================================================================
+# Money columns are exact 2-decimal doubles in the testdata; all money
+# aggregation below happens in INTEGER CENTS (exact in any engine —
+# raw double sums differ at the last ulp between Spark and DuckDB and
+# would break the driver's value hash). Averages divide the exact
+# integer sum once, which is bit-identical IEEE on both sides.
+def _cents(col):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _q1_pricing(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    li = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity").cast("long").alias("qty_i"),
+        _cents("l_extendedprice").alias("price_c"),
+        _cents("l_discount").alias("dpct"),
+        _cents("l_tax").alias("tpct"),
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_i").cast("long").alias("sum_qty"),
+            F.sum("price_c").cast("long").alias("sum_base_price_c"),
+            F.sum(F.col("price_c") * (100 - F.col("dpct"))).cast("long").alias("sum_disc_price_c4"),
+            F.sum(F.col("price_c") * (100 - F.col("dpct")) * (100 + F.col("tpct"))).cast("long").alias("sum_charge_c6"),
+            (F.sum("qty_i").cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum("price_c").cast("double") / F.lit(100.0) / F.count("*")).alias("avg_price"),
+            (F.sum("dpct").cast("double") / F.lit(100.0) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT)            AS qty_i,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT)      AS dpct,
+         CAST(round(l_tax * 100) AS BIGINT)           AS tpct
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty_i) AS BIGINT)                                AS sum_qty,
+       CAST(sum(price_c) AS BIGINT)                              AS sum_base_price_c,
+       CAST(sum(price_c * (100 - dpct)) AS BIGINT)               AS sum_disc_price_c4,
+       CAST(sum(price_c * (100 - dpct) * (100 + tpct)) AS BIGINT) AS sum_charge_c6,
+       CAST(sum(qty_i) AS DOUBLE) / count(*)                     AS avg_qty,
+       CAST(sum(price_c) AS DOUBLE) / 100.0 / count(*)           AS avg_price,
+       CAST(sum(dpct) AS DOUBLE) / 100.0 / count(*)              AS avg_disc,
+       count(*)                                                  AS count_order
+FROM li GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q3_top_orders(spark, sf):
+    li, o, c = _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(
+            F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount")))
+            .cast("long")
+            .alias("revenue_c4")
+        )
+        .orderBy(F.desc("revenue_c4"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue_c4 DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def _q5_region_revenue(spark, sf):
+    li, o, c, s, n, r = (
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "region"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount")))
+            .cast("long")
+            .alias("revenue_c4"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_Q5_SQL = """
+SELECT r_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4,
+       count(*) AS n_items
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey  = c_custkey
+              JOIN supplier ON l_suppkey  = s_suppkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def _join_semi(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49)
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).cast("long").alias("total_c"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_SEMI_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders WHERE EXISTS
+  (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def _join_anti(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer WHERE NOT EXISTS
+  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def _join_outer(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.sum(F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)).cast("long").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+_OUTER_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey,
+         CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT n_orders, count(*) AS n_customers FROM per_cust
+GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+def _agg_distinct(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+_DISTINCT_SQL = """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_items
+FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+def _agg_cube(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def _agg_rollup(spark, sf):
+    c = _t(spark, sf, "customer")
+    return (
+        c.rollup("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum(_cents("c_acctbal")).cast("long").alias("bal_c"))
+        .select(
+            F.coalesce(F.col("c_nationkey").cast("long"), F.lit(-1)).alias("nationkey"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n",
+            "bal_c",
+        )
+        .orderBy("nationkey", "segment")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(CAST(c_nationkey AS BIGINT), -1) AS nationkey,
+       coalesce(c_mktsegment, 'ALL') AS segment,
+       count(*) AS n,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+ORDER BY nationkey, segment
+"""
+
+
+def _window_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", _cents("o_totalprice").alias("price_c"), "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+_WTOPK_SQL = """
+SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk
+"""
+
+
+def _window_running(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rev_c4 = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(rev_c4).over(w).cast("long").alias("running_rev_c4"),
+        )
+        .filter(F.col("l_suppkey") <= 10)
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+_WRUN_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_rev_c4
+FROM lineitem WHERE l_suppkey <= 10
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+
+def _window_lag(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)).cast("long").alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap"),
+            F.max("gap_days").alias("max_gap"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_WLAG_SQL = """
+WITH gaps AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day',
+              lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS gap_days
+  FROM orders)
+SELECT o_custkey, count(*) AS n_gaps, round(avg(gap_days), 4) AS avg_gap,
+       max(gap_days) AS max_gap
+FROM gaps WHERE gap_days IS NOT NULL GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def _topk_global(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            _cents("l_extendedprice").alias("price_c"),
+        )
+        .orderBy(F.desc("price_c"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(100)
+    )
+
+
+_TOPKG_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+FROM lineitem ORDER BY price_c DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100
+"""
+
+
+def _set_ops(spark, sf):
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    union_n = o.union(c).distinct().count()
+    inter_n = o.intersect(c).count()
+    except_n = c.exceptAll(c.join(o, "k", "left_semi")).select("k").distinct().count()
+    return spark.createDataFrame(
+        [(union_n, inter_n, except_n)], "union_n long, intersect_n long, except_n long"
+    )
+
+
+_SETOPS_SQL = """
+SELECT
+  (SELECT count(*) FROM (SELECT o_custkey AS k FROM orders UNION SELECT c_custkey FROM customer)) AS union_n,
+  (SELECT count(*) FROM (SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey FROM customer)) AS intersect_n,
+  (SELECT count(DISTINCT c_custkey) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS except_n
+"""
+
+
+def _dedup_first_order(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+        .orderBy("o_custkey")
+    )
+
+
+_DEDUPF_SQL = """
+SELECT o_custkey, o_orderkey AS first_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn
+  FROM orders) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+def _string_funcs(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_u"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_type", "^(\\w+)", 1).alias("type_head"),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+    ).orderBy("p_partkey")
+
+
+_STRF_SQL = """
+SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 5) AS name5,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+       CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+FROM part ORDER BY p_partkey
+"""
+
+
+def _date_funcs(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).cast("long").alias("revenue_c"),
+        )
+        .orderBy("month")
+    )
+
+
+_DATEF_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders GROUP BY 1, 2, 3 ORDER BY month
+"""
+
+
+def _json_events(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _conditional_agg(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", _cents("value")).otherwise(F.lit(0).cast("long"))
+            ).cast("long").alias("purchase_value_c"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CONDAGG_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_value_c,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _pivot_status(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    qty = F.round("l_quantity").cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "O", qty).otherwise(F.lit(0).cast("long"))).cast("long").alias("qty_O"),
+            F.sum(F.when(F.col("l_linestatus") == "F", qty).otherwise(F.lit(0).cast("long"))).cast("long").alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_O,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_F
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _sessionize(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+        ).alias("gap_s"),
+    )
+    return (
+        gapped.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1).otherwise(0)
+            ).cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSION_SQL = """
+WITH gapped AS (
+  SELECT user_id,
+         date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM gapped GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _array_stats(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))), 4
+        ).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+_ARRAY_SQL = """
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+       round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def _sim_topk(spark, sf):
+    from reddit_processing_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    out = cosine_topk(e, q, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim"), "rk"
+    ).orderBy("query_id", "rk")
+
+
+# the SQL oracle replicates the engine's EXACT double fold (sequential
+# dot + norms) rather than list_cosine_similarity, whose internal
+# accumulation differs at ~1e-7 and breaks value hashing.
+_SIMTOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum([CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                   for i in range(1, len(e.embedding) + 1)])
+         / (sqrt(list_sum([CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)
+                           for i in range(1, len(q.qvec) + 1)]))
+            * sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                             for i in range(1, len(e.embedding) + 1)]))) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM scored)
+SELECT query_id, vec_id, round(sim, 4) AS sim, rk
+FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+def _docs_exact_dedup(spark, sf):
+    d = _t(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), "\\s+", " "))
+    return (
+        d.groupBy(norm.alias("norm_text"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .select("keep_id", "n_docs")
+        .orderBy("keep_id")
+    )
+
+
+_DOCSDEDUP_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents
+GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+ORDER BY keep_id
+"""
+
+
+def _docs_token_stats(spark, sf):
+    from reddit_processing_spark.functions.text import token_count
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.length("text").cast("long").alias("len_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DOCSTOK_SQL = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(length(text) AS BIGINT) AS len_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def _docs_stopwords(spark, sf):
+    from reddit_processing_spark.functions.text import STOPWORDS, ws_tokens
+
+    d = _t(spark, sf, "documents")
+    toks = F.transform(ws_tokens("text"), lambda x: F.lower(x))
+    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS["en"])))
+    return (
+        d.select(
+            "doc_id",
+            hits.cast("long").alias("en_stopword_hits"),
+            F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4).alias("stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DOCSSTOP_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS BIGINT)
+         AS en_stopword_hits,
+       round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            x -> x IN ('the','and','of','to','a','in','is','it','that','for')))
+         / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS stopword_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---- graph extraction parity through SQL (tiny fixture) -----------
+def _edge_role_pairs(spark, sf):
+    from reddit_processing_spark.operators.extract import derive_edges
+
+    t = spark.read.parquet(_fixture_dir())
+    edges, vertices = derive_edges(t, n_users=TINY_N_USERS)
+    v = vertices.select(F.col("vid"), F.col("vkey"))
+    return (
+        edges.filter(F.col("kind") == "role")
+        .join(v.select(F.col("vid").alias("src"), F.col("vkey").alias("src_role")), "src")
+        .join(v.select(F.col("vid").alias("dst"), F.col("vkey").alias("dst_role")), "dst")
+        .groupBy("src_role", "dst_role")
+        .agg(F.count("*").alias("n"))
+        .orderBy("src_role", "dst_role")
+    )
+
+
+def _edge_role_pairs_sql() -> str:
+    return f"""
+WITH turns AS (
+  SELECT conv_id, turn_idx, role, ts FROM (
+    SELECT conv_id, turn_idx, role, ts,
+           row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts, text) rn
+    FROM read_parquet('{_fixture_glob()}')
+    WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND role IS NOT NULL
+  ) WHERE rn = 1),
+ordered AS (
+  SELECT role, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev_role
+  FROM turns)
+SELECT prev_role AS src_role, role AS dst_role, count(*) AS n
+FROM ordered WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role ORDER BY src_role, dst_role
+"""
+
+
+def _reply_edges_per_user(spark, sf):
+    from reddit_processing_spark.operators.extract import derive_edges
+
+    t = spark.read.parquet(_fixture_dir())
+    edges, vertices = derive_edges(t, n_users=TINY_N_USERS)
+    users = vertices.filter(F.col("vtype") == "user").select(
+        F.col("vid").alias("src"), F.col("vkey").alias("user_key")
+    )
+    return (
+        edges.filter(F.col("kind") == "reply")
+        .join(users, "src")  # user->thread direction only
+        .groupBy("user_key")
+        .agg(F.count("*").alias("n_replies"), F.countDistinct("conv_id").alias("n_threads"))
+        .orderBy("user_key")
+    )
+
+
+def _reply_edges_per_user_sql() -> str:
+    return f"""
+WITH turns AS (
+  SELECT conv_id, turn_idx, role FROM (
+    SELECT conv_id, turn_idx, role,
+           row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts, text) rn
+    FROM read_parquet('{_fixture_glob()}')
+    WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND role IS NOT NULL
+  ) WHERE rn = 1)
+SELECT 'u' || CAST((CAST(substr(conv_id, 2) AS BIGINT) * 2654435761 + CAST(turn_idx AS BIGINT) * 40503) % {TINY_N_USERS} AS VARCHAR) AS user_key,
+       count(*) AS n_replies,
+       count(DISTINCT conv_id) AS n_threads
+FROM turns WHERE role = 'user'
+GROUP BY 1 ORDER BY user_key
+"""
+
+
+def _tri_cooccurrence(spark, sf):
+    """Triangle totals on the part co-occurrence graph (parts sharing
+    an order) — validates the wedge-join triangle operator against an
+    independent SQL triangle count on REAL data."""
+    from reddit_processing_spark.graph.triangles import triangle_count
+
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+    )
+    tri = triangle_count(spark, pairs)
+    return tri.agg(
+        (F.sum("tri") / 3).cast("long").alias("n_triangles"),
+        F.count("*").alias("n_vertices"),
+        F.sum(F.when(F.col("tri") > 0, 1).otherwise(0)).cast("long").alias("n_in_triangle"),
+    )
+
+
+_TRI_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+tri AS (
+  SELECT count(*) AS n FROM e e1
+  JOIN e e2 ON e1.d = e2.s
+  JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d),
+verts AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+in_tri AS (
+  SELECT count(DISTINCT v) AS n FROM (
+    SELECT e1.s AS v FROM e e1 JOIN e e2 ON e1.d = e2.s JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+    UNION SELECT e1.d FROM e e1 JOIN e e2 ON e1.d = e2.s JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+    UNION SELECT e2.d FROM e e1 JOIN e e2 ON e1.d = e2.s JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d))
+SELECT CAST(tri.n AS BIGINT) AS n_triangles,
+       (SELECT count(*) FROM verts) AS n_vertices,
+       CAST((SELECT n FROM in_tri) AS BIGINT) AS n_in_triangle
+FROM tri
+"""
+
+
+# ---- rows-only graph/dedup entries (non-SQL-expressible) ----------
+def _graph_pagerank_top20(spark, sf):
+    """Iterative fixpoint — rows-only for the driver; exact-parity
+    testing lives in tests/test_graph.py vs the numpy oracle."""
+    from reddit_processing_spark.graph.pagerank import PageRank
+    from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+    t = spark.read.parquet(_fixture_dir())
+    edges, _ = derive_edges(t, n_users=TINY_N_USERS)
+    pr = PageRank(spark, aggregate_edges(edges), num_partitions=8, kernel="csr")
+    try:
+        ranks = pr.run(d=0.85, tol=1e-4, max_iter=15, ckpt_dir=tempfile.mkdtemp(prefix="drv_pr_"))
+        return ranks.select("vid", F.round("rank", 6).alias("rank")).orderBy(
+            F.desc("rank"), F.asc("vid")
+        ).limit(20)
+    finally:
+        pr.unpersist()
+
+
+def _graph_cc_sizes(spark, sf):
+    from reddit_processing_spark.graph.components import connected_components
+    from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+    t = spark.read.parquet(_fixture_dir())
+    edges, _ = derive_edges(t, n_users=TINY_N_USERS)
+    comps = connected_components(
+        spark, aggregate_edges(edges), num_partitions=8,
+        ckpt_dir=tempfile.mkdtemp(prefix="drv_cc_"),
+    )
+    return comps.groupBy("comp").agg(F.count("*").alias("size")).orderBy(
+        F.desc("size"), F.asc("comp")
+    )
+
+
+def _graph_lpa_sizes(spark, sf):
+    from reddit_processing_spark.graph.lpa import label_propagation
+    from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+    t = spark.read.parquet(_fixture_dir())
+    edges, _ = derive_edges(t, n_users=TINY_N_USERS)
+    labels = label_propagation(
+        spark, aggregate_edges(edges), max_iter=5, num_partitions=8,
+        ckpt_dir=tempfile.mkdtemp(prefix="drv_lpa_"),
+    )
+    return labels.groupBy("label").agg(F.count("*").alias("size")).orderBy(
+        F.desc("size"), F.asc("label")
+    )
+
+
+def _dedup_minhash(spark, sf):
+    from reddit_processing_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(d, threshold=0.6).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_simhash(spark, sf):
+    from reddit_processing_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _ngram_jaccard(spark, sf):
+    """SQL-expressible in principle but xxhash-free: exact n-gram
+    Jaccard pairs with a DuckDB oracle."""
+    from reddit_processing_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.6).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+_NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+         END AS gs
+  FROM toks),
+sizes AS (SELECT doc_id, len(gs) AS n FROM grams),
+inv AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+shared AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+  FROM inv l JOIN inv r ON l.gram = r.gram AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id)
+SELECT s.id_a, s.id_b,
+       round(CAST(s.inter AS DOUBLE) / (sa.n + sb.n - s.inter), 4) AS jaccard
+FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE CAST(s.inter AS DOUBLE) / (sa.n + sb.n - s.inter) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+def _ann_lsh(spark, sf):
+    from reddit_processing_spark.operators.similarity import cosine_topk_lsh
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return cosine_topk_lsh(e, q, k=5).select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim"), "rk"
+    ).orderBy("query_id", "rk")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator family (SURVEY.md §2)."""
+    return {
+        "q1_pricing_summary": _q1_pricing,
+        "q3_top_orders": _q3_top_orders,
+        "q5_region_revenue": _q5_region_revenue,
+        "join_semi_high_qty": _join_semi,
+        "join_anti_no_orders": _join_anti,
+        "join_outer_order_counts": _join_outer,
+        "agg_distinct_per_supplier": _agg_distinct,
+        "agg_cube_flag_status": _agg_cube,
+        "agg_rollup_nation_segment": _agg_rollup,
+        "window_topk_per_customer": _window_topk,
+        "window_running_revenue": _window_running,
+        "window_lag_order_gaps": _window_lag,
+        "topk_global_lineitems": _topk_global,
+        "set_ops_custkeys": _set_ops,
+        "dedup_first_order_per_customer": _dedup_first_order,
+        "string_part_functions": _string_funcs,
+        "date_monthly_revenue": _date_funcs,
+        "json_event_props": _json_events,
+        "conditional_agg_events": _conditional_agg,
+        "pivot_lineitem_status": _pivot_status,
+        "sessionize_events": _sessionize,
+        "array_embedding_stats": _array_stats,
+        "sim_topk_cosine": _sim_topk,
+        "docs_exact_dedup": _docs_exact_dedup,
+        "docs_token_stats": _docs_token_stats,
+        "docs_stopword_ratio": _docs_stopwords,
+        "edge_role_pairs": _edge_role_pairs,
+        "reply_edges_per_user": _reply_edges_per_user,
+        "tri_part_cooccurrence": _tri_cooccurrence,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        # rows-only (iterative fixpoints / hash-sketch dependent):
+        "graph_pagerank_top20": _graph_pagerank_top20,
+        "graph_cc_sizes": _graph_cc_sizes,
+        "graph_lpa_sizes": _graph_lpa_sizes,
+        "dedup_minhash_pairs": _dedup_minhash,
+        "dedup_simhash_pairs": _dedup_simhash,
+        "ann_lsh_topk": _ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles for every SQL-expressible query above. Keys
+    absent here (graph fixpoints, xxhash-sketch dedup, LSH ANN) get
+    the driver's rows-only check; their exact-parity tests live in
+    tests/ (networkx / numpy / pandas oracles)."""
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_top_orders": _Q3_SQL,
+        "q5_region_revenue": _Q5_SQL,
+        "join_semi_high_qty": _SEMI_SQL,
+        "join_anti_no_orders": _ANTI_SQL,
+        "join_outer_order_counts": _OUTER_SQL,
+        "agg_distinct_per_supplier": _DISTINCT_SQL,
+        "agg_cube_flag_status": _CUBE_SQL,
+        "agg_rollup_nation_segment": _ROLLUP_SQL,
+        "window_topk_per_customer": _WTOPK_SQL,
+        "window_running_revenue": _WRUN_SQL,
+        "window_lag_order_gaps": _WLAG_SQL,
+        "topk_global_lineitems": _TOPKG_SQL,
+        "set_ops_custkeys": _SETOPS_SQL,
+        "dedup_first_order_per_customer": _DEDUPF_SQL,
+        "string_part_functions": _STRF_SQL,
+        "date_monthly_revenue": _DATEF_SQL,
+        "json_event_props": _JSON_SQL,
+        "conditional_agg_events": _CONDAGG_SQL,
+        "pivot_lineitem_status": _PIVOT_SQL,
+        "sessionize_events": _SESSION_SQL,
+        "array_embedding_stats": _ARRAY_SQL,
+        "sim_topk_cosine": _SIMTOPK_SQL,
+        "docs_exact_dedup": _DOCSDEDUP_SQL,
+        "docs_token_stats": _DOCSTOK_SQL,
+        "docs_stopword_ratio": _DOCSSTOP_SQL,
+        "edge_role_pairs": _edge_role_pairs_sql(),
+        "reply_edges_per_user": _reply_edges_per_user_sql(),
+        "tri_part_cooccurrence": _TRI_SQL,
+        "ngram_jaccard_pairs": _NGRAM_SQL,
+    }

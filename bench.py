@@ -1,0 +1,111 @@
+"""BENCH runner (driver contract): runs the engine's headline queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: PageRank superstep throughput (edges processed per
+second per superstep, BASELINE.json) over the transcript fixture tier
+matched to the sf dir; plus wall-clock seconds for representative
+relational/dedup/similarity queries over the driver tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from reddit_processing_spark.session import get_spark  # noqa: E402
+from reddit_processing_spark.sources.fixtures import ensure_fixture  # noqa: E402
+
+BENCH_SUPERSTEPS = 5
+
+
+def _time(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return round(time.monotonic() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * int(cpus),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    tier = "bench" if sf_dir.endswith("0.1") or sf_dir.endswith("0.1/") else "small"
+    fixture = ensure_fixture(tier)
+
+    timings: dict[str, float] = {}
+    reg = entrymod.queries()
+    for name in (
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "q5_region_revenue",
+        "window_topk_per_customer",
+        "agg_cube_flag_status",
+        "sessionize_events",
+        "dedup_minhash_pairs",
+        "sim_topk_cosine",
+        "tri_part_cooccurrence",
+    ):
+        q = reg[name]
+        timings[name] = _time(lambda q=q: q(spark, sf_dir).write.format("noop").mode("overwrite").save())
+
+    # ---- graph headline: PageRank superstep throughput ----
+    from reddit_processing_spark.graph.pagerank import PageRank
+    from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+    t = spark.read.parquet(fixture)
+    t0 = time.monotonic()
+    edges, _ = derive_edges(t)
+    agg = aggregate_edges(edges).persist()
+    agg.count()
+    pr = PageRank(spark, agg, num_partitions=2 * int(cpus), kernel="csr")
+    setup_s = round(time.monotonic() - t0, 3)
+    E = pr.E
+
+    ck = tempfile.mkdtemp(prefix="bench_pr_")
+    t1 = time.monotonic()
+    pr.run(d=0.85, tol=0.0, max_iter=BENCH_SUPERSTEPS, ckpt_dir=ck)
+    loop_s = time.monotonic() - t1
+    per_step = loop_s / BENCH_SUPERSTEPS
+    edges_per_sec = E / per_step
+    pr.unpersist()
+
+    timings["derive_edges_setup"] = setup_s
+    timings["pagerank_superstep"] = round(per_step, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "pagerank_edges_per_sec_per_superstep",
+                "value": round(edges_per_sec, 1),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "edges": E,
+                "supersteps": BENCH_SUPERSTEPS,
+                "cpus": int(cpus),
+                "fixture_tier": tier,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
