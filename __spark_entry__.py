@@ -989,6 +989,261 @@ def _ann_lsh(spark, sf):
     ).orderBy("query_id", "rk")
 
 
+# ---- text analysis: language ID / quality / BPE / fingerprint -----
+def _docs_lang_id(spark, sf):
+    from reddit_processing_spark.functions.text import lang_id
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_pred")).orderBy("doc_id")
+
+
+_LANGID_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+hits AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> x IN ('der','die','und','das','ist','von','den','mit','ein','zu'))) AS h_de,
+    len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS h_en,
+    len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS h_es,
+    len(list_filter(t, x -> x IN ('le','la','et','les','des','un','une','du','est','dans'))) AS h_fr
+  FROM toks)
+SELECT doc_id,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM hits ORDER BY doc_id
+"""
+
+
+def _docs_quality(spark, sf):
+    from reddit_processing_spark.functions.text import quality_score
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.round(quality_score("text"), 4).alias("quality")
+    ).orderBy("doc_id")
+
+
+_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    least(length(text) / 500.0, 1.0) AS len_score,
+    len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) / greatest(length(text), 1) AS punct_ratio,
+    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        x -> x IN ('the','and','of','to','a','in','is','it','that','for')))
+      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS stop_ratio
+  FROM documents)
+SELECT doc_id,
+  round((len_score + (1.0 - least(punct_ratio * 4.0, 1.0))
+         + least(stop_ratio * 3.0, 1.0)) / 3.0, 4) AS quality
+FROM base ORDER BY doc_id
+"""
+
+
+def _docs_bpe_tokens(spark, sf):
+    from reddit_processing_spark.functions.text import bpe_token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", bpe_token_count("text").alias("n_bpe")).orderBy("doc_id")
+
+
+_BPE_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
+FROM documents ORDER BY doc_id
+"""
+
+
+def _docs_fingerprint(spark, sf):
+    """Rolling-hash fingerprint cross-check: the count of DISTINCT
+    64-bit fingerprints must equal the count of distinct normalized
+    texts (collision-free on this corpus) — an oracle for a hash the
+    oracle engine cannot compute directly."""
+    from reddit_processing_spark.functions.text import fingerprint
+
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fingerprint("text")).alias("n_unique"),
+    )
+
+
+_FPRINT_SQL = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_unique
+FROM documents
+"""
+
+
+# ---- temporal joins: as-of + range (SURVEY.md §2.3 J8) ------------
+def _asof_purchase_click(spark, sf):
+    """Backward as-of join: each purchase event gets the most recent
+    click at-or-before it for the same user (union+window pattern,
+    one shuffle, no per-row Python)."""
+    from reddit_processing_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="cts",
+        value_cols=["click_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.coalesce("click_id", F.lit(-1)).alias("last_click_id")
+    ).orderBy("event_id")
+
+
+_ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts AS cts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, coalesce(c.click_id, -1) AS last_click_id
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.cts
+ORDER BY p.event_id
+"""
+
+
+def _range_quantity_buckets(spark, sf):
+    from reddit_processing_spark.operators.temporal import range_join_buckets
+
+    li = _t(spark, sf, "lineitem")
+    buckets = spark.createDataFrame(
+        [(i, float(i * 10 + 1), float((i + 1) * 10)) for i in range(5)],
+        "bucket_id long, lo double, hi double",
+    )
+    out = range_join_buckets(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"), buckets, "l_quantity"
+    )
+    return (
+        out.groupBy("bucket_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+_RANGEJ_SQL = """
+WITH buckets(bucket_id, lo, hi) AS (
+  VALUES (0, 1.0, 10.0), (1, 11.0, 20.0), (2, 21.0, 30.0),
+         (3, 31.0, 40.0), (4, 41.0, 50.0))
+SELECT CAST(bucket_id AS BIGINT) AS bucket_id, count(*) AS n_items,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity <= hi
+GROUP BY bucket_id ORDER BY bucket_id
+"""
+
+
+# ---- embedding near-duplicate detection ---------------------------
+def _embed_near_dup_exact(spark, sf):
+    """Exact cosine near-dup pairs (threshold tuned to the synthetic
+    corpus — its vectors are near-orthogonal, max pairwise sim ~0.51).
+    Oracle replicates the engine's sequential double fold exactly."""
+    from reddit_processing_spark.operators.similarity import cosine
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.40)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_EMBDUP_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                   for i in range(1, len(b.embedding) + 1)])
+         / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                           for i in range(1, len(a.embedding) + 1)]))
+            * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                             for i in range(1, len(b.embedding) + 1)]))) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(sim, 4) AS sim
+FROM scored WHERE sim >= 0.40 ORDER BY id_a, id_b
+"""
+
+
+def _embed_near_dup_lsh(spark, sf):
+    """LSH-blocked variant (the 100 TB scale path) — rows-only: LSH
+    recall is measured against the exact baseline in tests."""
+    from reddit_processing_spark.operators.similarity import embedding_near_dupes
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_near_dupes(e, threshold=0.35).select(
+        "id_a", "id_b", F.round("sim", 4).alias("sim")
+    ).orderBy("id_a", "id_b")
+
+
+# ---- multimodal plumbing (rows-only; decode kernel is the
+# documented deterministic fake — sandbox has no image/audio libs) --
+def _multimodal_features(spark, sf):
+    from reddit_processing_spark.functions.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    m = synthetic_media(spark, 96)
+    feats = extract_features(m)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.round(F.sum(F.element_at("feature", 1)), 2).alias("sum_f0"),
+        )
+        .orderBy("kind")
+    )
+
+
+def _stream_window_counts(spark, sf):
+    """Structured Streaming surface (rows-only): event-time tumbling
+    window turn counts over the transcript fixture replayed as a file
+    stream, run to completion with availableNow."""
+    import uuid
+
+    from reddit_processing_spark.streaming.incremental import (
+        read_transcript_stream,
+        streaming_turn_counts,
+    )
+
+    stream = read_transcript_stream(spark, _fixture_dir())
+    counts = streaming_turn_counts(stream)
+    qname = f"drv_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="drv_stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(qname)
+        .groupBy("conv_id")
+        .agg(F.sum("n_turns").cast("long").alias("n_turns"), F.count("*").alias("n_windows"))
+        .orderBy("conv_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family (SURVEY.md §2)."""
     return {
@@ -1022,6 +1277,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reply_edges_per_user": _reply_edges_per_user,
         "tri_part_cooccurrence": _tri_cooccurrence,
         "ngram_jaccard_pairs": _ngram_jaccard,
+        "docs_lang_id": _docs_lang_id,
+        "docs_quality_score": _docs_quality,
+        "docs_bpe_tokens": _docs_bpe_tokens,
+        "docs_fingerprint_consistency": _docs_fingerprint,
+        "asof_purchase_last_click": _asof_purchase_click,
+        "join_range_quantity_buckets": _range_quantity_buckets,
+        "embed_near_dup_exact": _embed_near_dup_exact,
         # rows-only (iterative fixpoints / hash-sketch dependent):
         "graph_pagerank_top20": _graph_pagerank_top20,
         "graph_cc_sizes": _graph_cc_sizes,
@@ -1029,6 +1291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
         "ann_lsh_topk": _ann_lsh,
+        "embed_near_dup_lsh": _embed_near_dup_lsh,
+        "multimodal_features": _multimodal_features,
+        "stream_window_counts": _stream_window_counts,
     }
 
 
@@ -1068,4 +1333,11 @@ def oracle_sql() -> dict[str, str]:
         "reply_edges_per_user": _reply_edges_per_user_sql(),
         "tri_part_cooccurrence": _TRI_SQL,
         "ngram_jaccard_pairs": _NGRAM_SQL,
+        "docs_lang_id": _LANGID_SQL,
+        "docs_quality_score": _QUALITY_SQL,
+        "docs_bpe_tokens": _BPE_SQL,
+        "docs_fingerprint_consistency": _FPRINT_SQL,
+        "asof_purchase_last_click": _ASOF_SQL,
+        "join_range_quantity_buckets": _RANGEJ_SQL,
+        "embed_near_dup_exact": _EMBDUP_SQL,
     }
