@@ -54,34 +54,56 @@ def _vertices_from_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def _csr_kernel(key, edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-block CSR message kernel (vectorized, partial-combining).
-
-    edf: (src, dst, w_norm[, salt]) — the edge block; rdf: (vid, rank).
-    Builds rank lookup via searchsorted on the sorted vid vector, then
-    reduces contributions by dst with np.bincount before returning.
-    """
+def _csr_block(src, dst, w_norm, vids, ranks):
+    """Shared NumPy core of the CSR message kernel: rank lookup by
+    searchsorted on the sorted vid vector, then per-dst partial
+    reduction with np.bincount. Returns (uniq_dst, sums)."""
     import numpy as np
 
-    if len(edf) == 0 or len(rdf) == 0:
-        return pd.DataFrame({"dst": pd.Series(dtype="int64"), "contrib": pd.Series(dtype="float64")})
-    vids = rdf["vid"].to_numpy()
-    ranks = rdf["rank"].to_numpy()
     order = np.argsort(vids, kind="stable")
     vids_s, ranks_s = vids[order], ranks[order]
-
-    src = edf["src"].to_numpy()
     pos = np.searchsorted(vids_s, src)
     # guard: srcs must exist in the co-grouped rank block
     pos = np.clip(pos, 0, len(vids_s) - 1)
     hit = vids_s[pos] == src
-    contrib = ranks_s[pos] * edf["w_norm"].to_numpy()
+    contrib = ranks_s[pos] * w_norm
     contrib[~hit] = 0.0
-
-    dst = edf["dst"].to_numpy()
     uniq, inv = np.unique(dst, return_inverse=True)
     sums = np.bincount(inv, weights=contrib, minlength=len(uniq))
-    return pd.DataFrame({"dst": uniq.astype("int64"), "contrib": sums})
+    return uniq.astype("int64"), sums
+
+
+def _csr_kernel(key, edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-block CSR message kernel (pandas cogroup flavor)."""
+    if len(edf) == 0 or len(rdf) == 0:
+        return pd.DataFrame({"dst": pd.Series(dtype="int64"), "contrib": pd.Series(dtype="float64")})
+    uniq, sums = _csr_block(
+        edf["src"].to_numpy(),
+        edf["dst"].to_numpy(),
+        edf["w_norm"].to_numpy(),
+        rdf["vid"].to_numpy(),
+        rdf["rank"].to_numpy(),
+    )
+    return pd.DataFrame({"dst": uniq, "contrib": sums})
+
+
+def _csr_kernel_arrow(key, etab, rtab):
+    """Per-block CSR message kernel (Arrow cogroup flavor): zero-copy
+    Arrow→NumPy views, no pandas conversion on either side."""
+    import pyarrow as pa
+
+    if etab.num_rows == 0 or rtab.num_rows == 0:
+        return pa.table(
+            {"dst": pa.array([], type=pa.int64()), "contrib": pa.array([], type=pa.float64())}
+        )
+    uniq, sums = _csr_block(
+        etab.column("src").to_numpy(zero_copy_only=False),
+        etab.column("dst").to_numpy(zero_copy_only=False),
+        etab.column("w_norm").to_numpy(zero_copy_only=False),
+        rtab.column("vid").to_numpy(zero_copy_only=False),
+        rtab.column("rank").to_numpy(zero_copy_only=False),
+    )
+    return pa.table({"dst": pa.array(uniq), "contrib": pa.array(sums)})
 
 
 class PageRank:
@@ -108,8 +130,22 @@ class PageRank:
         self.P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.salt = max(1, salt)
 
-        self.vertices = _vertices_from_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
-        self.V = self.vertices.count()
+        # state skeleton: every vertex + its dangling flag (no out-edges)
+        # — carried through every superstep so the per-step delta and
+        # next dangling mass come from ONE aggregate over the
+        # checkpoint read-back instead of extra joins.
+        srcs = edges.select(F.col("src").alias("vid")).distinct()
+        self.vertices = (
+            _vertices_from_edges(edges)
+            .join(srcs.withColumn("_has_out", F.lit(True)), "vid", "left")
+            .select("vid", F.coalesce(F.col("_has_out"), F.lit(False)).alias("has_out"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        counts = self.vertices.agg(
+            F.count("*").alias("v"),
+            F.sum(F.when(~F.col("has_out"), 1).otherwise(0)).alias("d"),
+        ).collect()[0]
+        self.V, self.D = int(counts["v"]), int(counts["d"] or 0)
 
         out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
         enorm = (
@@ -124,19 +160,11 @@ class PageRank:
         # ONE setup shuffle; every superstep reuses this partitioning.
         keys = ["blk", "slt"] if self.salt > 1 else ["blk"]
         self.enorm = enorm.repartition(self.P, *keys).persist(StorageLevel.MEMORY_AND_DISK)
-        self.enorm.count()
-        self.E = edges.count()
-
-        # dangling = vertices with no out-edges (receive-only)
-        self.dangling = (
-            self.vertices.join(edges.select("src").distinct(), F.col("vid") == F.col("src"), "left_anti")
-            .select("vid", F.lit(True).alias("is_dangling"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        self.D = self.dangling.count()
+        self.E = self.enorm.count()
 
     # ---- one superstep ----------------------------------------------
-    def _messages(self, ranks: DataFrame) -> DataFrame:
+    def _messages(self, state: DataFrame) -> DataFrame:
+        ranks = state.select("vid", "rank")
         if self.kernel == "sql":
             return (
                 self.enorm.join(
@@ -155,8 +183,8 @@ class PageRank:
         else:
             grouped_e = self.enorm.groupBy("blk")
             grouped_r = rblk.groupBy("blk")
-        partial = grouped_e.cogroup(grouped_r).applyInPandas(
-            _csr_kernel, "dst long, contrib double"
+        partial = grouped_e.cogroup(grouped_r).applyInArrow(
+            _csr_kernel_arrow, "dst long, contrib double"
         )
         return partial.groupBy("dst").agg(F.sum("contrib").alias("contrib"))
 
@@ -182,56 +210,55 @@ class PageRank:
 
         start_step = 0
         dangle = D / V  # analytic at uniform init
+        init = self.vertices.select(
+            "vid", F.lit(1.0 / V).alias("rank"), "has_out", F.lit(0.0).alias("dstep")
+        )
         if resume:
             last = ckpt.latest_valid_step()
             if last is not None:
                 start_step = last
-                ranks = ckpt.read(self.spark, last)
+                state = ckpt.read(self.spark, last)
                 dangle = (
-                    ranks.join(self.dangling, "vid", "left_semi")
-                    .agg(F.sum("rank"))
-                    .collect()[0][0]
+                    state.agg(
+                        F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0))
+                    ).collect()[0][0]
                     or 0.0
                 )
             else:
-                ranks = self.vertices.select("vid", F.lit(1.0 / V).alias("rank"))
+                state = init
         else:
-            ranks = self.vertices.select("vid", F.lit(1.0 / V).alias("rank"))
+            state = init
 
         for step in range(start_step, max_iter):
             t0 = time.monotonic()
-            msgs = self._messages(ranks)
+            msgs = self._messages(state)
             base = (1.0 - d) / V + d * dangle / V
-            new_ranks = self.vertices.join(
-                msgs, self.vertices.vid == msgs.dst, "left"
+            # state ⋈ msgs carries old rank + dangling flag through, so
+            # the per-step L1 delta is a COLUMN of the new state (free
+            # lineage metric in the checkpoint) and the two scalars come
+            # from one aggregate over the materialized read-back.
+            new_rank = F.lit(base) + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            new_state = state.join(
+                msgs.hint("SHUFFLE_HASH"), state.vid == msgs.dst, "left"
             ).select(
                 "vid",
-                (F.lit(base) + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                new_rank.alias("rank"),
+                "has_out",
+                F.abs(new_rank - F.col("rank")).alias("dstep"),
             )
-            # materialize state FIRST (barrier + resume point), then
-            # compute the two scalars in ONE aggregate over the read-back:
-            # L1 residual + next superstep's dangling mass.
-            old = ranks.select(F.col("vid").alias("ovid"), F.col("rank").alias("orank"))
-            written = ckpt.write(new_ranks, step + 1)
-            row = (
-                written.join(old, written.vid == F.col("ovid"))
-                .join(self.dangling, "vid", "left")
-                .agg(
-                    F.sum(F.abs(F.col("rank") - F.col("orank"))).alias("delta"),
-                    F.sum(
-                        F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)
-                    ).alias("dangle"),
-                )
-                .collect()[0]
-            )
+            written = ckpt.write(new_state, step + 1)
+            row = written.agg(
+                F.sum("dstep").alias("delta"),
+                F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias("dangle"),
+            ).collect()[0]
             delta, dangle = float(row["delta"]), float(row["dangle"] or 0.0)
             wall_ms = int((time.monotonic() - t0) * 1000)
             # re-stamp the manifest with this superstep's delta metrics
             self._annotate_manifest(ckpt, step + 1, delta, dangle, wall_ms)
-            ranks = written
+            state = written
             if delta < tol:
                 break
-        return ranks
+        return state.select("vid", "rank")
 
     @staticmethod
     def _annotate_manifest(ckpt: CheckpointManager, step: int, delta: float, dangle: float, wall_ms: int) -> None:
@@ -249,7 +276,7 @@ class PageRank:
         os.rename(tmp, p)
 
     def unpersist(self) -> None:
-        for df in (self.vertices, self.enorm, self.dangling):
+        for df in (self.vertices, self.enorm):
             try:
                 df.unpersist()
             except Exception:
