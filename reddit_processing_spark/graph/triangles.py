@@ -42,14 +42,18 @@ def triangle_count(
     degree_oriented: bool = True,
 ) -> DataFrame:
     """Returns (vid, tri) for every vertex of the undirected graph."""
+    sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     if degree_oriented:
         # orient each undirected edge from lower-degree to higher-degree
         # endpoint (ties by vid) — wedge pivots are low-degree vertices.
-        sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
         deg = sym.groupBy("src").agg(F.count("*").alias("d")).select(
             F.col("src").alias("vid"), "d"
         )
-        und = canonical_edges(edges)
+        # canonical view comes from the persisted symmetric edges (one
+        # scan of the possibly-expensive input lineage, reused throughout)
+        und = sym.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
         e = (
             und.join(deg.select(F.col("vid").alias("a"), F.col("d").alias("da")), "a")
             .join(deg.select(F.col("vid").alias("b"), F.col("d").alias("db")), "b")
@@ -76,12 +80,14 @@ def triangle_count(
         e1 = e.select(F.col("lo").alias("p"), F.col("hi").alias("x"))
         e2 = e.select(F.col("lo").alias("p"), F.col("hi").alias("y"))
         wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
-        closing = symmetrize(edges).select(
-            F.col("src").alias("x"), F.col("dst").alias("y")
-        )
+        closing = sym.select(F.col("src").alias("x"), F.col("dst").alias("y"))
         tris = wedges.join(closing, ["x", "y"], "left_semi")
     else:
-        e = canonical_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+        e = (
+            sym.filter(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         e1 = e.select(F.col("a").alias("p"), F.col("b").alias("x"))
         wedges = (
             e1.alias("w1")
@@ -97,7 +103,7 @@ def triangle_count(
         .groupBy("vid")
         .agg(F.count("*").alias("tri"))
     )
-    all_vids = symmetrize(edges).select(F.col("src").alias("vid")).distinct()
+    all_vids = sym.select(F.col("src").alias("vid")).distinct()
     return all_vids.join(per_vertex, "vid", "left").select(
         "vid", F.coalesce("tri", F.lit(0)).alias("tri")
     )

@@ -60,15 +60,21 @@ def minhash_signature(
     k: int = 5,
 ) -> DataFrame:
     """(id, sig:array<long>) — sig[i] = min over shingles of
-    xxhash64(i, shingle_hash). One shingle pass, H mins, all JVM."""
+    xxhash64(i, shingle_hash).
+
+    Shape matters at scale: shingles are EXPLODED once and the H mins
+    are grouped aggregates (map-side partial combine, one shuffle).
+    The tempting alternative — H ``array_min(transform(shingles,...))``
+    columns — re-inlines the shingle expression H times after
+    Catalyst's projection collapse, multiplying the substring/hash work
+    by H (measured 20x slower at 5k docs)."""
     sh = shingle_hashes(text_col, k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
+    return exploded.groupBy("id").agg(
+        F.array(
+            *[F.min(F.xxhash64(F.lit(i), F.col("s"))) for i in range(num_hashes)]
+        ).alias("sig")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
