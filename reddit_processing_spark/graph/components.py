@@ -61,23 +61,32 @@ def connected_components(
             start = last
             comps = ckpt.read(spark, last)
 
+    from pyspark.sql import Observation
+
     for step in range(start, max_iter):
         t0 = time.monotonic()
         msgs = sym.join(comps, sym.src == comps.vid).select(
             sym.dst.alias("vid"), "comp"
         )
+        # carry the old comp as a second min-aggregate: self-messages
+        # (the unioned current state) are the only rows with ocomp set,
+        # so min(ocomp) IS the old value — no join needed for the
+        # changed-count, which observe() folds into the write pass.
         new = (
-            comps.unionByName(msgs)
+            comps.select("vid", "comp", F.col("comp").alias("ocomp"))
+            .unionByName(msgs.select("vid", "comp", F.lit(None).cast("long").alias("ocomp")))
             .groupBy("vid")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("ocomp").alias("ocomp"))
         )
-        written = ckpt.write(new, step + 1)
-        old = comps.select(F.col("vid").alias("ovid"), F.col("comp").alias("ocomp"))
-        changed = (
-            written.join(old, written.vid == F.col("ovid"))
-            .filter(F.col("comp") != F.col("ocomp"))
-            .count()
-        )
+        obs = Observation(f"cc_step_{step + 1}")
+        observed = new.observe(
+            obs,
+            F.sum(
+                (F.col("comp") != F.coalesce(F.col("ocomp"), F.col("comp"))).cast("long")
+            ).alias("changed"),
+        ).select("vid", "comp")
+        written = ckpt.write(observed, step + 1)
+        changed = int(obs.get["changed"] or 0)
         _annotate(ckpt, step + 1, {"changed": changed}, int((time.monotonic() - t0) * 1000))
         comps = written
         if changed == 0:

@@ -76,17 +76,19 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select(F.col("nvid").alias("vid"), F.col("label").alias("nlabel"))
         )
-        new = (
-            labels.join(best, "vid", "left")
-            .select("vid", F.coalesce("nlabel", "label").alias("label"))
+        # the old label is already on the row here — fold the changed-
+        # count into the write pass with observe(); no follow-up job.
+        from pyspark.sql import Observation
+
+        new = labels.join(best, "vid", "left").select(
+            "vid",
+            F.coalesce("nlabel", "label").alias("label"),
+            (F.coalesce("nlabel", "label") != F.col("label")).cast("long").alias("_chg"),
         )
-        written = ckpt.write(new, step + 1)
-        old = labels.select(F.col("vid").alias("ovid"), F.col("label").alias("olabel"))
-        changed = (
-            written.join(old, written.vid == F.col("ovid"))
-            .filter(F.col("label") != F.col("olabel"))
-            .count()
-        )
+        obs = Observation(f"lpa_step_{step + 1}")
+        observed = new.observe(obs, F.sum("_chg").alias("changed")).select("vid", "label")
+        written = ckpt.write(observed, step + 1)
+        changed = int(obs.get["changed"] or 0)
         _annotate(ckpt, step + 1, {"changed": changed}, int((time.monotonic() - t0) * 1000))
         labels = written
         if changed == 0:

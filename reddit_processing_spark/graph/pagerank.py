@@ -130,6 +130,17 @@ class PageRank:
         self.P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.salt = max(1, salt)
 
+        # Materialize the input ONCE: setup derives vertices, degrees,
+        # dangling flags, and the blocked edge table from it — without
+        # this an unpersisted input lineage (e.g. the full transcript
+        # extraction) is recomputed ~6x (measured 338s -> 60s setup at
+        # the scale tier).
+        self._own_edges = not (
+            edges.storageLevel.useMemory or edges.storageLevel.useDisk
+        )
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK) if self._own_edges else edges
+        self._edges_in = edges
+
         # state skeleton: every vertex + its dangling flag (no out-edges)
         # — carried through every superstep so the per-step delta and
         # next dangling mass come from ONE aggregate over the
@@ -246,11 +257,20 @@ class PageRank:
                 "has_out",
                 F.abs(new_rank - F.col("rank")).alias("dstep"),
             )
-            written = ckpt.write(new_state, step + 1)
-            row = written.agg(
+            # observe() computes the two scalars DURING the checkpoint
+            # write pass — no second job, no read-back scan.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"pr_step_{step + 1}")
+            observed = new_state.observe(
+                obs,
                 F.sum("dstep").alias("delta"),
-                F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias("dangle"),
-            ).collect()[0]
+                F.sum(
+                    F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)
+                ).alias("dangle"),
+            )
+            written = ckpt.write(observed, step + 1)
+            row = obs.get
             delta, dangle = float(row["delta"]), float(row["dangle"] or 0.0)
             wall_ms = int((time.monotonic() - t0) * 1000)
             # re-stamp the manifest with this superstep's delta metrics
@@ -276,7 +296,10 @@ class PageRank:
         os.rename(tmp, p)
 
     def unpersist(self) -> None:
-        for df in (self.vertices, self.enorm):
+        dfs = [self.vertices, self.enorm]
+        if self._own_edges:
+            dfs.append(self._edges_in)
+        for df in dfs:
             try:
                 df.unpersist()
             except Exception:

@@ -58,7 +58,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         # deterministic float behavior across runs is helped by a fixed
         # partitioning story; nothing here uses sampling or rand().
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

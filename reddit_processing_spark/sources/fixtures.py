@@ -38,7 +38,13 @@ TIERS = {
     "tiny": (200, 30, 2, 50),
     "small": (5_000, 80, 3, 500),
     "bench": (200_000, 200, 5, 50_000),
+    # scale: the two-parallelism scaling-efficiency tier (~27M turns →
+    # ~26M aggregated edges). Generated + written in conv-range chunks
+    # so peak memory stays at one bench-tier chunk.
+    "scale": (1_600_000, 200, 8, 50_000),
 }
+
+CHUNK_CONVS = 200_000
 
 TORTURE_SUFFIX = ' \t\n"quoted",comma|pipe é😀中文مرحبا  '
 
@@ -62,6 +68,12 @@ def _h(conv: np.ndarray, turn: np.ndarray, salt: int) -> np.ndarray:
 
 def n_users_for(n_convs: int) -> int:
     return max(1, n_convs // 3)
+
+
+def tier_n_users(tier: str) -> int:
+    """Analytic n_users for a fixture tier — lets jobs skip the
+    distinct-conv_id inference pass over the full table."""
+    return n_users_for(TIERS[tier][0])
 
 
 def user_key_ints(conv: np.ndarray, turn: np.ndarray, n_users: int) -> np.ndarray:
@@ -96,8 +108,12 @@ def _conv_lengths(n_convs: int, clip: int, n_mega: int, mega_len: int) -> np.nda
     return lengths
 
 
-def generate_transcripts(tier: str) -> pd.DataFrame:
-    """Build the full transcripts table for a tier as one pandas frame.
+def generate_transcripts(
+    tier: str, conv_lo: int | None = None, conv_hi: int | None = None
+) -> pd.DataFrame:
+    """Build the transcripts table for a tier (optionally a conv-id
+    range chunk — every row is a pure function of (seed, conv, turn),
+    so chunked generation is byte-identical to whole generation).
 
     Role rule (stateless so it vectorizes, FIXTURES.md §A.1): turn 0 is
     'system' when h%5==0 else 'user'; afterwards user/assistant
@@ -105,8 +121,11 @@ def generate_transcripts(tier: str) -> pd.DataFrame:
     becomes 'tool' with hash-probability 0.15.
     """
     n_convs, clip, n_mega, mega_len = TIERS[tier]
-    lengths = _conv_lengths(n_convs, clip, n_mega, mega_len)
-    conv = np.repeat(np.arange(n_convs, dtype=np.int64), lengths)
+    lengths_all = _conv_lengths(n_convs, clip, n_mega, mega_len)
+    lo = 0 if conv_lo is None else conv_lo
+    hi = n_convs if conv_hi is None else min(conv_hi, n_convs)
+    lengths = lengths_all[lo:hi]
+    conv = np.repeat(np.arange(lo, hi, dtype=np.int64), lengths)
     total = int(lengths.sum())
     # per-row turn index: arange within each conversation
     starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
@@ -165,7 +184,7 @@ def generate_transcripts(tier: str) -> pd.DataFrame:
 
     # duplicate (conv_id, turn_idx) pair at a fixed slot — exactly one,
     # exercising dedup-keep-first-by-ts (conv 2, turn 1 duplicated later).
-    if n_convs > 2 and lengths[2] >= 2:
+    if lo <= 2 < hi and lengths_all[2] >= 2:
         src = df[(df.conv_id == "c00000002") & (df.turn_idx == 1)].iloc[[0]].copy()
         src["ts"] = src["ts"] + pd.Timedelta(seconds=11)
         src["text"] = src["text"] + "|dup-later-must-lose"
@@ -188,7 +207,6 @@ def ensure_fixture(tier: str, base_dir: str | None = None) -> str:
     marker = os.path.join(path, "_FIXTURE_OK")
     if os.path.exists(marker):
         return path
-    df = generate_transcripts(tier)
     os.makedirs(path, exist_ok=True)
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -203,8 +221,15 @@ def ensure_fixture(tier: str, base_dir: str | None = None) -> str:
             pa.field("ts", pa.timestamp("us")),
         ]
     )
-    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
-    pq.write_table(table, os.path.join(path, "part-000.parquet"))
+    n_convs = TIERS[tier][0]
+    total_rows = 0
+    part = 0
+    for lo in range(0, n_convs, CHUNK_CONVS):
+        df = generate_transcripts(tier, lo, lo + CHUNK_CONVS)
+        table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+        pq.write_table(table, os.path.join(path, f"part-{part:03d}.parquet"))
+        total_rows += len(df)
+        part += 1
     with open(marker, "w") as f:
-        json.dump({"tier": tier, "rows": len(df), "seed": SEED}, f)
+        json.dump({"tier": tier, "rows": total_rows, "seed": SEED}, f)
     return path
