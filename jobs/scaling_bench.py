@@ -26,7 +26,8 @@ sys.path.insert(0, REPO)
 
 
 def run_one(
-    cores: int, transcripts: str, steps: int, workdir: str, n_users: int
+    cores: int, transcripts: str, steps: int, workdir: str, n_users: int,
+    kernel: str = "csr",
 ) -> dict:
     ckpt = os.path.join(workdir, f"ckpt_{cores}")
     out = os.path.join(workdir, f"ranks_{cores}")
@@ -41,6 +42,7 @@ def run_one(
         "--master", f"local[{cores}]",
         "--partitions", str(2 * cores),
         "--n-users", str(n_users),
+        "--kernel", kernel,
     ]
     env = dict(os.environ)
     res = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
@@ -55,6 +57,7 @@ def main() -> None:
     p.add_argument("--tier", default="bench")
     p.add_argument("--n", type=int, default=8)
     p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--kernel", choices=["csr", "sql"], default="csr")
     args = p.parse_args()
 
     from reddit_processing_spark.sources.fixtures import ensure_fixture, tier_n_users
@@ -66,7 +69,8 @@ def main() -> None:
     for cores in (args.n, 4 * args.n):
         print(f"== local[{cores}] ==", file=sys.stderr)
         runs[cores] = run_one(
-            cores, transcripts, args.steps, workdir, tier_n_users(args.tier)
+            cores, transcripts, args.steps, workdir, tier_n_users(args.tier),
+            args.kernel,
         )
 
     lo, hi = runs[args.n], runs[4 * args.n]

@@ -169,7 +169,14 @@ class PageRank:
                 "slt", F.pmod(F.xxhash64("dst"), F.lit(self.salt)).cast("int")
             )
         # ONE setup shuffle; every superstep reuses this partitioning.
-        keys = ["blk", "slt"] if self.salt > 1 else ["blk"]
+        # The partition key must match what the superstep consumes or
+        # the 26M-row edge side reshuffles every iteration: the sql
+        # kernel joins on src (hashpartitioning(src)), the csr kernel
+        # cogroups on blk(+slt).
+        if self.kernel == "sql":
+            keys = ["src"]
+        else:
+            keys = ["blk", "slt"] if self.salt > 1 else ["blk"]
         self.enorm = enorm.repartition(self.P, *keys).persist(StorageLevel.MEMORY_AND_DISK)
         self.E = self.enorm.count()
 
