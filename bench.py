@@ -76,20 +76,25 @@ def main() -> None:
     edges, _ = derive_edges(t, n_users=tier_n_users(tier))
     agg = aggregate_edges(edges).persist()
     agg.count()
-    pr = PageRank(spark, agg, num_partitions=2 * int(cpus), kernel="csr")
     setup_s = round(time.monotonic() - t0, 3)
-    E = pr.E
-
-    ck = tempfile.mkdtemp(prefix="bench_pr_")
-    t1 = time.monotonic()
-    pr.run(d=0.85, tol=0.0, max_iter=BENCH_SUPERSTEPS, ckpt_dir=ck)
-    loop_s = time.monotonic() - t1
-    per_step = loop_s / BENCH_SUPERSTEPS
-    edges_per_sec = E / per_step
-    pr.unpersist()
-
     timings["derive_edges_setup"] = setup_s
-    timings["pagerank_superstep"] = round(per_step, 3)
+
+    per_step = {}
+    E = 0
+    # csr = the north-star Arrow/CSR architecture (headline metric);
+    # sql = the pure-JVM shuffle-hash variant, recorded alongside.
+    for kernel in ("csr", "sql"):
+        pr = PageRank(spark, agg, num_partitions=2 * int(cpus), kernel=kernel)
+        E = pr.E
+        ck = tempfile.mkdtemp(prefix=f"bench_pr_{kernel}_")
+        t1 = time.monotonic()
+        pr.run(d=0.85, tol=0.0, max_iter=BENCH_SUPERSTEPS, ckpt_dir=ck)
+        loop_s = time.monotonic() - t1
+        per_step[kernel] = loop_s / BENCH_SUPERSTEPS
+        pr.unpersist()
+        timings[f"pagerank_superstep_{kernel}"] = round(per_step[kernel], 3)
+
+    edges_per_sec = E / per_step["csr"]
 
     print(
         json.dumps(
