@@ -1,0 +1,90 @@
+"""spark-submit job: transcripts → edges → {cc | lpa | triangles}.
+
+Usage (cluster):
+  spark-submit --py-files dist/engine.zip jobs/run_graph.py \
+      --algo cc --transcripts <path> --ckpt <dir> --out <dir> \
+      [--max-iter 50] [--partitions 64] [--master local[8]]
+
+Prints one JSON line of run metrics (per-superstep walls from the
+checkpoint manifests for the iterative algorithms).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--algo", choices=["cc", "lpa", "triangles"], required=True)
+    p.add_argument("--transcripts", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--max-iter", type=int, default=50)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--master", default=None)
+    p.add_argument("--n-users", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from reddit_processing_spark.graph.components import connected_components
+    from reddit_processing_spark.graph.lpa import label_propagation
+    from reddit_processing_spark.graph.triangles import triangle_count
+    from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+    from reddit_processing_spark.plans.ckpt import CheckpointManager
+    from reddit_processing_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"run_{args.algo}",
+        master=args.master,
+        shuffle_partitions=args.partitions,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    t0 = time.monotonic()
+    transcripts = spark.read.parquet(args.transcripts)
+    edges, _ = derive_edges(transcripts, n_users=args.n_users)
+    agg = aggregate_edges(edges)
+
+    if args.algo == "cc":
+        out = connected_components(
+            spark, agg, max_iter=args.max_iter, ckpt_dir=args.ckpt,
+            num_partitions=args.partitions,
+        )
+        manifest_algo = "components"
+    elif args.algo == "lpa":
+        out = label_propagation(
+            spark, agg, max_iter=args.max_iter, ckpt_dir=args.ckpt,
+            num_partitions=args.partitions,
+        )
+        manifest_algo = "lpa"
+    else:
+        out = triangle_count(spark, agg)
+        manifest_algo = None
+
+    out.write.mode("overwrite").parquet(args.out)
+    wall_s = round(time.monotonic() - t0, 3)
+
+    metrics = {
+        "algo": args.algo,
+        "rows": out.count(),
+        "wall_s": wall_s,
+        "master": spark.sparkContext.master,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    if manifest_algo and args.ckpt:
+        hist = CheckpointManager(args.ckpt, manifest_algo).metrics_history()
+        metrics["supersteps"] = len(hist)
+        metrics["per_superstep_wall_ms"] = [h["wall_ms"] for h in hist]
+    print(json.dumps(metrics))
+    spark.stop()
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # shuffle/spill scratch on RAM-backed tmpfs when available —
+        # the sandbox analog of the NVMe/ramdisk local dirs every real
+        # cluster uses; keeps benchmark walls from measuring virtio
+        # writeback stalls instead of the engine. Checkpoints still go
+        # to the caller-chosen (durable) path.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         # deterministic float behavior across runs is helped by a fixed
         # partitioning story; nothing here uses sampling or rand().
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
