@@ -989,6 +989,64 @@ def _ann_lsh(spark, sf):
     ).orderBy("query_id", "rk")
 
 
+def _agg_grouping_sets(spark, sf):
+    """GROUPING SETS via the SQL surface (SURVEY.md §2.4 A8) — per-flag
+    and per-status marginals plus the grand total in one pass."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               count(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls
+        """
+    )
+
+
+_GSETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY rf, ls
+"""
+
+
+def _window_rank_ntile(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rk") <= 20)
+        .orderBy("o_orderstatus", "rk", "o_orderkey")
+    )
+
+
+_WRANK_SQL = """
+SELECT * FROM (
+  SELECT o_orderstatus, o_orderkey,
+         rank()       OVER w AS rk,
+         dense_rank() OVER w AS drk,
+         ntile(4)     OVER w AS quartile
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC))
+WHERE rk <= 20 ORDER BY o_orderstatus, rk, o_orderkey
+"""
+
+
 # ---- text analysis: language ID / quality / BPE / fingerprint -----
 def _docs_lang_id(spark, sf):
     from reddit_processing_spark.functions.text import lang_id
@@ -1277,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reply_edges_per_user": _reply_edges_per_user,
         "tri_part_cooccurrence": _tri_cooccurrence,
         "ngram_jaccard_pairs": _ngram_jaccard,
+        "agg_grouping_sets": _agg_grouping_sets,
+        "window_rank_ntile": _window_rank_ntile,
         "docs_lang_id": _docs_lang_id,
         "docs_quality_score": _docs_quality,
         "docs_bpe_tokens": _docs_bpe_tokens,
@@ -1333,6 +1393,8 @@ def oracle_sql() -> dict[str, str]:
         "reply_edges_per_user": _reply_edges_per_user_sql(),
         "tri_part_cooccurrence": _TRI_SQL,
         "ngram_jaccard_pairs": _NGRAM_SQL,
+        "agg_grouping_sets": _GSETS_SQL,
+        "window_rank_ntile": _WRANK_SQL,
         "docs_lang_id": _LANGID_SQL,
         "docs_quality_score": _QUALITY_SQL,
         "docs_bpe_tokens": _BPE_SQL,
