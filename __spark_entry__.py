@@ -1302,6 +1302,163 @@ def _stream_window_counts(spark, sf):
     )
 
 
+# ---- S1/S2 text scans: the round-trip IS the oracle check ---------
+# The Spark side writes the parquet table out through the text codec
+# and reads it back (explicit schema, byte-exact options —
+# sources/textio.py); the DuckDB oracle reads the PARQUET ORIGINAL.
+# A value-hash match therefore proves the text format preserved every
+# value (incl. free text) byte-exactly.
+def _scan_csv_roundtrip(spark, sf):
+    from reddit_processing_spark.sources import textio
+
+    docs = _t(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="rps_scan_csv_") + "/documents_tsv"
+    textio.write_csv(docs, path, sep="\t")
+    return textio.read_csv(spark, path, docs.schema, sep="\t")
+
+
+def _scan_ndjson_roundtrip(spark, sf):
+    from reddit_processing_spark.sources import textio
+
+    docs = _t(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="rps_scan_json_") + "/documents_json"
+    textio.write_ndjson(docs, path)
+    return textio.read_ndjson(spark, path, docs.schema)
+
+
+_SCAN_RT_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+# ---- S4/S5/A6/O1 split+merge pipeline invariants ------------------
+def _split_bucket_invariants(spark, sf):
+    """Phase-1 'split' (operators/split_merge.py): hash-bucket events
+    by user, write partitioned-by-bucket, read the files back, and
+    prove the SQL-expressible invariants of a correct hash partition:
+    no row lost, no row duplicated, every entity in EXACTLY one
+    bucket, all bucket ids in range."""
+    from reddit_processing_spark.operators.split_merge import split_to_buckets
+
+    ev = _t(spark, sf, "events")
+    n_buckets = 16
+    path = tempfile.mkdtemp(prefix="rps_split_") + "/events_buckets"
+    split_to_buckets(ev, "user_id", n_buckets, out_path=path)
+    back = spark.read.parquet(path)
+    per_user = back.groupBy("user_id").agg(
+        F.countDistinct("bucket").alias("nb"),
+        F.min("bucket").alias("minb"),
+        F.max("bucket").alias("maxb"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("nb") > 1, 1).otherwise(0)).cast("long").alias("multi_bucket_users"),
+        F.sum(F.when((F.col("minb") < 0) | (F.col("maxb") >= n_buckets), 1).otherwise(0))
+        .cast("long")
+        .alias("out_of_range_users"),
+    ).crossJoin(back.agg(F.count("*").alias("total_rows")))
+
+
+_SPLIT_SQL = """
+SELECT count(DISTINCT user_id)  AS n_users,
+       CAST(0 AS BIGINT)        AS multi_bucket_users,
+       CAST(0 AS BIGINT)        AS out_of_range_users,
+       count(*)                 AS total_rows
+FROM events
+"""
+
+
+def _merge_consolidated_lists(spark, sf):
+    """Phase-2 'merge' as per-entity chronological lists (SURVEY.md
+    §2.4 A6): consolidate_as_lists sorts each entity's records by
+    (ts, event_id); the emitted order fingerprint (string-joined id
+    sequence) is compared against DuckDB's string_agg under the same
+    ORDER BY — order-sensitive, so a wrong sort fails the hash."""
+    from reddit_processing_spark.operators.split_merge import consolidate_as_lists
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") % 37 == 0)
+    lists = consolidate_as_lists(ev, "user_id", "ts", ["event_id"])
+    return lists.select(
+        "user_id",
+        F.col("n_records").cast("long").alias("n_records"),
+        F.array_join(
+            F.transform(F.col("records"), lambda r: r["event_id"].cast("string")), ","
+        ).alias("id_seq"),
+    ).orderBy("user_id")
+
+
+_MERGE_SQL = """
+SELECT user_id,
+       count(*) AS n_records,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS id_seq
+FROM events WHERE user_id % 37 = 0
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _merge_flat_ordering(spark, sf):
+    """Phase-2 'merge' in its scale layout (flat repartition +
+    sortWithinPartitions, operators/split_merge.py merge_consolidate):
+    write the consolidated files, read them back, and verify the
+    physical row order WITHIN each output file is (entity, ts,
+    event_id)-sorted — 0 inversions — plus nothing lost. The physical
+    order is observed per input file via a partition-local Arrow pass
+    (files are read whole: one file = one task here), which is exactly
+    how a downstream consumer of the reference's consolidated output
+    would stream it."""
+    from reddit_processing_spark.operators.split_merge import merge_consolidate
+
+    ev = _t(spark, sf, "events")
+    path = tempfile.mkdtemp(prefix="rps_merge_") + "/events_merged"
+    merge_consolidate(ev, "user_id", ["ts", "event_id"], 8, out_path=path)
+    # _metadata.file_path tags every row with its source file; the
+    # kernel only compares CONSECUTIVE rows of the SAME file, so
+    # Spark's small-file coalescing (several files per read task)
+    # cannot fabricate inversions at file boundaries.
+    back = spark.read.parquet(path).select(
+        "user_id", "ts", "event_id", F.col("_metadata.file_path").alias("fp")
+    )
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _inversions(batches):
+        inv = 0
+        rows = 0
+        prev = None  # (fp, user_id, ts, event_id) of the last row seen
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            e = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            fp = np.asarray(b.column("fp").to_pylist(), dtype=object)
+            rows += n
+            if prev is not None and fp[0] == prev[0]:
+                if (u[0], t[0], e[0]) < prev[1:]:
+                    inv += 1
+            # vectorized lexicographic descent check within the batch
+            worse = (u[:-1] > u[1:]) | (
+                (u[:-1] == u[1:])
+                & ((t[:-1] > t[1:]) | ((t[:-1] == t[1:]) & (e[:-1] > e[1:])))
+            )
+            inv += int((worse & (fp[:-1] == fp[1:])).sum())
+            prev = (fp[-1], int(u[-1]), int(t[-1]), int(e[-1]))
+        yield pa.RecordBatch.from_pydict(
+            {"rows": pa.array([rows], pa.int64()), "inversions": pa.array([inv], pa.int64())}
+        )
+
+    per_part = back.mapInArrow(_inversions, "rows long, inversions long")
+    return per_part.agg(
+        F.sum("rows").cast("long").alias("total_rows"),
+        F.sum("inversions").cast("long").alias("order_inversions"),
+    )
+
+
+_MERGE_FLAT_SQL = """
+SELECT count(*) AS total_rows, CAST(0 AS BIGINT) AS order_inversions FROM events
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family (SURVEY.md §2)."""
     return {
@@ -1344,6 +1501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_last_click": _asof_purchase_click,
         "join_range_quantity_buckets": _range_quantity_buckets,
         "embed_near_dup_exact": _embed_near_dup_exact,
+        "scan_csv_roundtrip": _scan_csv_roundtrip,
+        "scan_ndjson_roundtrip": _scan_ndjson_roundtrip,
+        "split_bucket_invariants": _split_bucket_invariants,
+        "merge_consolidated_lists": _merge_consolidated_lists,
+        "merge_flat_ordering": _merge_flat_ordering,
         # rows-only (iterative fixpoints / hash-sketch dependent):
         "graph_pagerank_top20": _graph_pagerank_top20,
         "graph_cc_sizes": _graph_cc_sizes,
@@ -1402,4 +1564,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_last_click": _ASOF_SQL,
         "join_range_quantity_buckets": _RANGEJ_SQL,
         "embed_near_dup_exact": _EMBDUP_SQL,
+        "scan_csv_roundtrip": _SCAN_RT_SQL,
+        "scan_ndjson_roundtrip": _SCAN_RT_SQL,
+        "split_bucket_invariants": _SPLIT_SQL,
+        "merge_consolidated_lists": _MERGE_SQL,
+        "merge_flat_ordering": _MERGE_FLAT_SQL,
     }
