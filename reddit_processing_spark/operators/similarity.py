@@ -80,7 +80,13 @@ def _hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
 
 
 def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-hash bucket id for one LSH table (planes: [P, dim])."""
+    """Sign-hash bucket id for one LSH table (planes: [P, dim]).
+
+    REFERENCE implementation (pure Column expressions) kept as the
+    parity oracle for ``lsh_bucket_table`` — do NOT use it in the
+    production path: inlining n_tables*n_planes*dim literal columns
+    bloats the plan and every dot product is an interpreted
+    higher-order-lambda pass (the round-1 'weak' finding)."""
     bits = [
         (_dot(vec, F.array(*[F.lit(float(v)) for v in row])) >= 0).cast("int")
         for row in planes
@@ -89,6 +95,79 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     for b in bits:
         out = out * 2 + b
     return out
+
+
+def lsh_bucket_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(id, tbl, bkt) for every (row, table) — ALL tables in ONE
+    vectorized ``mapInArrow`` pass (the production bucketing path).
+
+    Bit-exact equivalent of ``lsh_bucket`` over ``_hyperplanes`` (the
+    parity test proves it): the Column version computes, per plane,
+    float32 products (exact: planes are ±1) accumulated SEQUENTIALLY
+    in float64; the kernel reproduces that exact rounding with a
+    float64 cumsum over the vector axis — so bucket ids are identical
+    even at sign knife-edges, while the per-row cost drops from
+    n_tables*n_planes interpreted lambda folds to three NumPy passes
+    per batch. Null/ragged vectors are excluded (no bucket ⇒ never a
+    candidate), matching the Column version's null-propagation.
+    """
+    planes = np.stack([_hyperplanes(dim, n_planes, t) for t in range(n_tables)])
+    pw = (2 ** np.arange(n_planes - 1, -1, -1)).astype(np.int64)  # plane 0 = MSB
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            vecs = b.column(1)
+            flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = vecs.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            ok = lens == dim
+            if not ok.all():
+                keep = np.flatnonzero(ok)
+                # rebuild a dense [n_ok, dim] view of only well-shaped
+                # rows (offsets are parent-relative on sliced arrays —
+                # rebase onto the flattened values)
+                starts = offs[:-1][keep] - offs[0]
+                gather = (starts[:, None] + np.arange(dim)[None, :]).ravel()
+                V = flat[gather].reshape(-1, dim)
+                ids = ids[keep]
+            else:
+                V = flat.reshape(-1, dim)
+            n = V.shape[0]
+            if n == 0:
+                continue
+            bkts = np.empty((n_tables, n), dtype=np.int64)
+            for t in range(n_tables):
+                # prod is exact (±x); cumsum[...,-1] = the sequential
+                # float64 fold the Column version performs.
+                prod = V[:, None, :] * planes[t][None, :, :]
+                dots = prod.cumsum(axis=2)[:, :, -1]
+                bkts[t] = ((dots >= 0).astype(np.int64) @ pw)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "id": pa.array(np.tile(ids, n_tables), pa.int64()),
+                    "tbl": pa.array(
+                        np.repeat(np.arange(n_tables, dtype=np.int32), n), pa.int32()
+                    ),
+                    "bkt": pa.array(bkts.ravel(), pa.int64()),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    ).filter(F.col("vec").isNotNull())
+    return src.mapInArrow(kernel, "id long, tbl int, bkt long")
 
 
 def cosine_topk_lsh(
@@ -107,45 +186,26 @@ def cosine_topk_lsh(
     base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
 
-    b_buckets = base.select(
-        "vec_id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("vec"), _hyperplanes(dim, n_planes, t)).alias("bkt"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "vec", "tb.tbl", "tb.bkt")
-    q_buckets = q.select(
-        "query_id",
-        "qvec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("qvec"), _hyperplanes(dim, n_planes, t)).alias("bkt"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("query_id", "qvec", "tb.tbl", "tb.bkt")
+    # Candidate generation is ID-ONLY: the banded join and the dedup
+    # distinct() move (tbl, bkt, id) rows, never the vector payload —
+    # at 100 TB the full vectors would otherwise be shuffled and
+    # compared O(candidates) times (the round-1 'weak' finding). The
+    # two vector sides are re-attached exactly once for the re-rank.
+    b_buckets = lsh_bucket_table(base, "vec_id", "vec", n_planes, n_tables, dim)
+    q_buckets = lsh_bucket_table(q, "query_id", "qvec", n_planes, n_tables, dim)
 
-    cand = (
-        b_buckets.join(F.broadcast(q_buckets), ["tbl", "bkt"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qvec", "vec_id", "vec")
+    cand_ids = (
+        b_buckets.join(
+            F.broadcast(q_buckets.withColumnRenamed("id", "query_id")), ["tbl", "bkt"]
+        )
+        .filter(F.col("id") != F.col("query_id"))
+        .select(F.col("query_id"), F.col("id").alias("vec_id"))
         .distinct()
     )
-    scored = cand.select(
-        "query_id", "vec_id", cosine(F.col("qvec"), F.col("vec")).alias("sim")
+    scored = (
+        cand_ids.join(base, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cosine(F.col("qvec"), F.col("vec")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
@@ -168,35 +228,21 @@ def embedding_near_dupes(
     sim >= threshold) via LSH blocking + exact verify — the embedding
     leg of the dedup suite."""
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    buckets = base.select(
-        "id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("vec"), _hyperplanes(dim, n_planes, t)).alias("bkt"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "vec", "tb.tbl", "tb.bkt")
+    # id-only blocking (see cosine_topk_lsh): the self-join and the
+    # candidate distinct() shuffle bare (id_a, id_b) pairs; vectors
+    # re-join once, only for the exact verify.
+    buckets = lsh_bucket_table(base, "id", "vec", n_planes, n_tables, dim)
     cand = (
         buckets.alias("l")
         .join(buckets.alias("r"), ["tbl", "bkt"])
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("l.vec").alias("vec_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("r.vec").alias("vec_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
     return (
-        cand.withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

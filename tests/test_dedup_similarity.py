@@ -161,3 +161,37 @@ def test_embedding_near_dupes_planted(spark, emb):
     df = spark.createDataFrame(pd.concat([ep, planted], ignore_index=True))
     pairs = embedding_near_dupes(df, threshold=0.99).toPandas()
     assert ((pairs.id_a == ep.iloc[0]["vec_id"]) & (pairs.id_b == 900000)).any()
+
+
+def test_lsh_bucket_table_matches_column_oracle(spark, emb):
+    """The production mapInArrow bucketing kernel must be BIT-EXACT vs
+    the Column-expression reference (lsh_bucket): same float32
+    products, same sequential float64 accumulation — so candidates
+    (and therefore pairs/top-k) are identical by construction."""
+    from reddit_processing_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket,
+        lsh_bucket_table,
+    )
+
+    n_planes, n_tables, dim = 8, 6, 64
+    got = (
+        lsh_bucket_table(emb, "vec_id", "embedding", n_planes, n_tables, dim)
+        .toPandas()
+        .sort_values(["id", "tbl"])
+        .reset_index(drop=True)
+    )
+    ref_cols = emb.select(
+        F.col("vec_id").alias("id"),
+        *[
+            lsh_bucket(F.col("embedding"), _hyperplanes(dim, n_planes, t)).alias(f"t{t}")
+            for t in range(n_tables)
+        ],
+    ).toPandas()
+    ref = ref_cols.melt(id_vars="id", var_name="tbl", value_name="bkt")
+    ref["tbl"] = ref["tbl"].str[1:].astype(int)
+    ref = ref.sort_values(["id", "tbl"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert (got["id"].to_numpy() == ref["id"].to_numpy()).all()
+    assert (got["tbl"].to_numpy() == ref["tbl"].to_numpy()).all()
+    assert (got["bkt"].to_numpy() == ref["bkt"].to_numpy()).all()
