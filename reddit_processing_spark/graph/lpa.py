@@ -14,18 +14,36 @@ tie-break; asynchronous LPA is nondeterministic — SURVEY.md §2.11):
 - stop when no label changed or max_iter (synchronous LPA can
   2-cycle on bipartite structures — max_iter is the documented
   guard; the pandas oracle runs the identical schedule).
+
+Frontier-delta (SURVEY.md §2.3 J5): LPA's update is NOT monotone (a
+vertex needs ALL neighbor labels, not just changed ones), so the
+delta schedule recomputes the AFFECTED SET — vertices with at least
+one neighbor whose label changed last superstep — using all their
+incident edges; everyone else provably keeps their label (their
+neighbor-label multiset is unchanged, so the argmax is unchanged).
+Exactness is therefore by construction; per-superstep message volume
+(``msg_rows`` in the manifests) shrinks to the active rim as the
+graph converges. ``frontier=False`` restores the dense schedule.
+
+Skew (``salt > 1``): explicit two-stage weight sum — partial
+``groupBy(nvid, label, slt)`` then final ``groupBy(nvid, label)`` —
+bounds any single reduce key's fan-in from a mega-hub (SURVEY §2.11
+``salted_repartition``; map-side partial aggregation combines per
+task already, the explicit stage is the spill-independent guarantee).
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.ckpt import CheckpointManager
-from .components import _annotate
+from .components import _annotate, _resume_state
+
+STATE_COLS = {"vid", "label", "chg"}
 
 
 def symmetrize_weighted(edges: DataFrame) -> DataFrame:
@@ -46,30 +64,59 @@ def label_propagation(
     ckpt_dir: str | None = None,
     num_partitions: int | None = None,
     resume: bool = True,
+    salt: int = 1,
+    frontier: bool = True,
 ) -> DataFrame:
     """Returns (vid, label) after synchronous LPA."""
     import tempfile
 
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    salt = max(1, salt)
     ckpt = CheckpointManager(ckpt_dir or tempfile.mkdtemp(prefix="lpa_ckpt_"), "lpa")
 
     sym = symmetrize_weighted(edges).repartition(P, "src").persist(StorageLevel.MEMORY_AND_DISK)
     vertices = sym.select(F.col("src").alias("vid")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
     start = 0
-    labels = vertices.select("vid", F.col("vid").alias("label"))
+    labels = vertices.select("vid", F.col("vid").alias("label"), F.lit(True).alias("chg"))
     if resume:
-        last = ckpt.latest_valid_step()
-        if last is not None:
-            start = last
-            labels = ckpt.read(spark, last)
+        state, start = _resume_state(ckpt, spark, STATE_COLS)
+        if state is not None:
+            labels = state
 
     for step in range(start, max_iter):
         t0 = time.monotonic()
-        nbr = sym.join(labels, sym.src == labels.vid).select(
-            sym.dst.alias("nvid"), "label", "w"
+        if frontier:
+            # affected = vertices with >=1 changed neighbor; recompute
+            # them from ALL their incident edges (two semi-joins, then
+            # the same dense kernel on the shrunken edge set).
+            changed_vids = labels.filter("chg").select("vid")
+            affected = (
+                sym.join(changed_vids, sym.src == changed_vids.vid, "left_semi")
+                .select(F.col("dst").alias("vid"))
+                .distinct()
+            )
+            edges_in = sym.join(affected, sym.dst == affected.vid, "left_semi")
+        else:
+            edges_in = sym
+        nbr = edges_in.join(labels, edges_in.src == labels.vid).select(
+            edges_in.dst.alias("nvid"), edges_in.src.alias("_src"), "label", "w"
         )
-        scores = nbr.groupBy("nvid", "label").agg(F.sum("w").alias("s"))
+        obs_m = Observation(f"lpa_msgs_{step + 1}")
+        nbr = nbr.observe(obs_m, F.count("*").alias("msg_rows"))
+        if salt > 1:
+            # salt on the SENDER so rows within one hot (nvid, label)
+            # group split across partial keys (a mega-hub's neighbors
+            # often share one label — salting on label wouldn't split).
+            scores = (
+                nbr.withColumn("_slt", F.pmod(F.xxhash64("_src"), F.lit(salt)))
+                .groupBy("nvid", "label", "_slt")
+                .agg(F.sum("w").alias("s"))
+                .groupBy("nvid", "label")
+                .agg(F.sum("s").alias("s"))
+            )
+        else:
+            scores = nbr.groupBy("nvid", "label").agg(F.sum("w").alias("s"))
         pick = Window.partitionBy("nvid").orderBy(F.col("s").desc(), F.col("label").asc())
         best = (
             scores.withColumn("_rn", F.row_number().over(pick))
@@ -78,22 +125,24 @@ def label_propagation(
         )
         # the old label is already on the row here — fold the changed-
         # count into the write pass with observe(); no follow-up job.
-        from pyspark.sql import Observation
-
         new = labels.join(best, "vid", "left").select(
             "vid",
             F.coalesce("nlabel", "label").alias("label"),
-            (F.coalesce("nlabel", "label") != F.col("label")).cast("long").alias("_chg"),
+            (F.coalesce("nlabel", "label") != F.col("label")).alias("chg"),
         )
         obs = Observation(f"lpa_step_{step + 1}")
-        observed = new.observe(obs, F.sum("_chg").alias("changed")).select("vid", "label")
+        observed = new.observe(obs, F.sum(F.col("chg").cast("long")).alias("changed"))
         written = ckpt.write(observed, step + 1)
         changed = int(obs.get["changed"] or 0)
-        _annotate(ckpt, step + 1, {"changed": changed}, int((time.monotonic() - t0) * 1000))
+        msg_rows = int(obs_m.get["msg_rows"] or 0)
+        _annotate(
+            ckpt, step + 1, {"changed": changed, "msg_rows": msg_rows},
+            int((time.monotonic() - t0) * 1000),
+        )
         labels = written
         if changed == 0:
             break
 
     sym.unpersist()
     vertices.unpersist()
-    return labels
+    return labels.select("vid", "label")

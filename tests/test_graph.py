@@ -134,3 +134,100 @@ def test_triangles_exact(spark, agg_edges, nx_graph):
         got = {r.vid: r.tri for r in tri.collect()}
         want = nx.triangles(nx_graph)
         assert got == {int(k): int(v) for k, v in want.items()}, f"oriented={oriented}"
+
+
+def test_cc_lpa_schedules_and_salt_agree(spark, agg_edges, tmp_path):
+    """frontier-delta and salted two-stage aggregation are exact
+    rewrites: all schedule/salt combinations produce identical
+    components and labels; the delta schedule's per-superstep message
+    volume shrinks as the graph converges (manifests' msg_rows)."""
+    import glob
+    import json
+
+    cc_outs = {}
+    for name, kw in {
+        "dense": dict(frontier=False, salt=1),
+        "delta": dict(frontier=True, salt=1),
+        "delta_salted": dict(frontier=True, salt=4),
+    }.items():
+        comps = connected_components(
+            spark, agg_edges, ckpt_dir=str(tmp_path / f"cc_{name}"),
+            num_partitions=8, **kw,
+        )
+        cc_outs[name] = {r.vid: r.comp for r in comps.collect()}
+    assert cc_outs["delta"] == cc_outs["dense"]
+    assert cc_outs["delta_salted"] == cc_outs["dense"]
+
+    lpa_outs = {}
+    for name, kw in {
+        "dense": dict(frontier=False, salt=1),
+        "delta": dict(frontier=True, salt=1),
+        "delta_salted": dict(frontier=True, salt=4),
+    }.items():
+        labels = label_propagation(
+            spark, agg_edges, max_iter=7, ckpt_dir=str(tmp_path / f"lpa_{name}"),
+            num_partitions=8, **kw,
+        )
+        lpa_outs[name] = {r.vid: r.label for r in labels.collect()}
+    assert lpa_outs["delta"] == lpa_outs["dense"]
+    assert lpa_outs["delta_salted"] == lpa_outs["dense"]
+
+    # frontier message volume shrinks: dense would send |E_sym| rows
+    # every superstep; the delta schedule's msg_rows must drop below
+    # its own first-superstep volume by the end. (CC only here: on
+    # this fixture LPA legitimately 2-cycles on its bipartite
+    # user↔thread structure, so its affected set never shrinks — the
+    # LPA shrink property is asserted on a partially-converging graph
+    # in test_lpa_frontier_message_shrink.)
+    ms = [
+        json.load(open(p))
+        for p in sorted(glob.glob(str(tmp_path / "cc_delta" / "components" / "manifest_*.json")))
+    ]
+    rows = [m["metrics"]["msg_rows"] for m in ms]
+    assert len(rows) >= 2
+    assert rows[-1] < rows[0], rows
+
+
+def test_lpa_frontier_message_shrink(spark, tmp_path):
+    """A clique converges after two supersteps while a detached edge
+    pair keeps 2-cycling: the delta schedule's message volume must
+    collapse to the active rim instead of re-sending the clique."""
+    import glob
+    import json
+
+    clique = [
+        (i, j, 1.0) for i in range(10) for j in range(10) if i < j
+    ]
+    pair = [(1000, 1001, 1.0)]
+    edges = spark.createDataFrame(clique + pair, "src long, dst long, w double")
+    label_propagation(
+        spark, edges, max_iter=6, ckpt_dir=str(tmp_path / "lpa_shrink"),
+        num_partitions=4, frontier=True,
+    )
+    ms = [
+        json.load(open(p))
+        for p in sorted(glob.glob(str(tmp_path / "lpa_shrink" / "lpa" / "manifest_*.json")))
+    ]
+    rows = [m["metrics"]["msg_rows"] for m in ms]
+    assert rows[0] == 92  # 90 symmetrized clique edges + the pair
+    assert rows[-1] == 2, rows  # only the oscillating pair stays active
+
+
+def test_cc_ignores_incompatible_checkpoint(spark, agg_edges, tmp_path):
+    """A checkpoint written in the old (vid, comp) format is ignored
+    with a warning — not an unresolved-column crash (ADVICE round 1)."""
+    import warnings
+
+    ckpt_dir = str(tmp_path / "cc_old")
+    old = agg_edges.select(F.col("src").alias("vid"), F.col("src").alias("comp")).distinct()
+    from reddit_processing_spark.plans.ckpt import CheckpointManager
+
+    CheckpointManager(ckpt_dir, "components").write(old, 3)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        comps = connected_components(
+            spark, agg_edges, ckpt_dir=ckpt_dir, num_partitions=8, resume=True
+        )
+        n = comps.count()
+    assert n > 0
+    assert any("ignoring it" in str(x.message) for x in w)
