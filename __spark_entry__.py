@@ -450,13 +450,22 @@ FROM lineitem ORDER BY price_c DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100
 
 
 def _set_ops(spark, sf):
+    """Union/intersect/except cardinalities in ONE distributed plan:
+    tag each side, one groupBy over the union, one scalar aggregate —
+    no driver-side .count() round-trips (round-1 'What's wrong' #4:
+    three separate jobs + a createDataFrame was the anti-pattern)."""
     o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
     c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
-    union_n = o.union(c).distinct().count()
-    inter_n = o.intersect(c).count()
-    except_n = c.exceptAll(c.join(o, "k", "left_semi")).select("k").distinct().count()
-    return spark.createDataFrame(
-        [(union_n, inter_n, except_n)], "union_n long, intersect_n long, except_n long"
+    tagged = o.select("k", F.lit(1).alias("in_o"), F.lit(0).alias("in_c")).unionByName(
+        c.select("k", F.lit(0).alias("in_o"), F.lit(1).alias("in_c"))
+    )
+    per_k = tagged.groupBy("k").agg(
+        F.max("in_o").alias("in_o"), F.max("in_c").alias("in_c")
+    )
+    return per_k.agg(
+        F.count("*").alias("union_n"),
+        F.sum(F.col("in_o") * F.col("in_c")).cast("long").alias("intersect_n"),
+        F.sum((1 - F.col("in_o")) * F.col("in_c")).cast("long").alias("except_n"),
     )
 
 
@@ -1302,6 +1311,95 @@ def _stream_window_counts(spark, sf):
     )
 
 
+# ---- J7 full outer join -------------------------------------------
+def _join_full_outer(spark, sf):
+    """FULL OUTER customer⋈orders with BOTH null sides non-empty
+    (customers restricted to one segment, orders to one year), so the
+    operator's null-completion semantics are actually exercised. The
+    engine's design rule still prefers union+groupBy for iterative
+    state merges (SURVEY.md §4.3) — this entry proves the operator
+    itself for users who reach for it."""
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.sum(_cents("o_totalprice")).cast("long").alias("spent_c"))
+    )
+    full = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return full.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("has_cust"),
+        F.col("o_custkey").isNotNull().alias("has_orders"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("spent_c", F.lit(0)).cast("long").alias("spent_c"),
+    ).orderBy("custkey")
+
+
+_FULL_OUTER_SQL = """
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'),
+     o AS (SELECT o_custkey, count(*) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spent_c
+           FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey)
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_custkey IS NOT NULL            AS has_cust,
+       o.o_custkey IS NOT NULL            AS has_orders,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(o.spent_c, 0) AS BIGINT)  AS spent_c
+FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+ORDER BY custkey
+"""
+
+
+# ---- 2.8 map scalar family ----------------------------------------
+def _map_metrics_blob(spark, sf):
+    """Map functions over a per-user event-type metrics blob:
+    map_from_arrays builds {event_type: count}, element_at probes it,
+    map_filter counts heavy types, create_map supplies a static
+    type→weight lookup — the SQL oracle computes the same quantities
+    relationally (maps are the Spark-side representation under test,
+    so the output projects scalars, not raw maps)."""
+    ev = _t(spark, sf, "events")
+    weights = F.create_map(
+        F.lit("click"), F.lit(1.0),
+        F.lit("view"), F.lit(0.5),
+        F.lit("purchase"), F.lit(5.0),
+    )
+    per_type = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("wcnt", F.coalesce(weights[F.col("event_type")], F.lit(0.0)) * F.col("cnt"))
+    )
+    blob = per_type.groupBy("user_id").agg(
+        F.map_from_arrays(F.collect_list("event_type"), F.collect_list("cnt")).alias("m"),
+        F.round(F.sum("wcnt"), 2).alias("weighted_events"),
+    )
+    return blob.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).alias("n_types"),
+        F.coalesce(F.element_at(F.col("m"), "click"), F.lit(0)).cast("long").alias("clicks"),
+        F.size(F.map_filter(F.col("m"), lambda k, v: v >= 10)).alias("heavy_types"),
+        "weighted_events",
+    ).orderBy("user_id")
+
+
+_MAP_SQL = """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       count(*)                                             AS n_types,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN cnt END), 0) AS BIGINT) AS clicks,
+       CAST(sum(CASE WHEN cnt >= 10 THEN 1 ELSE 0 END) AS INT) AS heavy_types,
+       round(sum(cnt * CASE event_type WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+                 WHEN 'purchase' THEN 5.0 ELSE 0.0 END), 2)  AS weighted_events
+FROM per_type GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---- S1/S2 text scans: the round-trip IS the oracle check ---------
 # The Spark side writes the parquet table out through the text codec
 # and reads it back (explicit schema, byte-exact options —
@@ -1501,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_last_click": _asof_purchase_click,
         "join_range_quantity_buckets": _range_quantity_buckets,
         "embed_near_dup_exact": _embed_near_dup_exact,
+        "join_full_outer_counts": _join_full_outer,
+        "map_metrics_blob": _map_metrics_blob,
         "scan_csv_roundtrip": _scan_csv_roundtrip,
         "scan_ndjson_roundtrip": _scan_ndjson_roundtrip,
         "split_bucket_invariants": _split_bucket_invariants,
@@ -1564,6 +1664,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_last_click": _ASOF_SQL,
         "join_range_quantity_buckets": _RANGEJ_SQL,
         "embed_near_dup_exact": _EMBDUP_SQL,
+        "join_full_outer_counts": _FULL_OUTER_SQL,
+        "map_metrics_blob": _MAP_SQL,
         "scan_csv_roundtrip": _SCAN_RT_SQL,
         "scan_ndjson_roundtrip": _SCAN_RT_SQL,
         "split_bucket_invariants": _SPLIT_SQL,

@@ -74,7 +74,12 @@ def _csr_block(src, dst, w_norm, vids, ranks):
 
 
 def _csr_kernel(key, edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-block CSR message kernel (pandas cogroup flavor)."""
+    """Per-block CSR message kernel (pandas cogroup flavor) — the
+    ``kernel='csr_pandas'`` fallback path (applyInPandas instead of
+    applyInArrow; same ``_csr_block`` math, so results are identical —
+    asserted by the kernel-parity test). Use when an environment's
+    Arrow cogroup path is unavailable; the Arrow flavor avoids the
+    pandas conversion and is the default."""
     if len(edf) == 0 or len(rdf) == 0:
         return pd.DataFrame({"dst": pd.Series(dtype="int64"), "contrib": pd.Series(dtype="float64")})
     uniq, sums = _csr_block(
@@ -123,7 +128,7 @@ class PageRank:
         salt: int = 1,
         kernel: str = "csr",
     ):
-        if kernel not in ("csr", "sql"):
+        if kernel not in ("csr", "sql", "csr_pandas"):
             raise ValueError(f"unknown kernel {kernel!r}")
         self.spark = spark
         self.kernel = kernel
@@ -201,9 +206,11 @@ class PageRank:
         else:
             grouped_e = self.enorm.groupBy("blk")
             grouped_r = rblk.groupBy("blk")
-        partial = grouped_e.cogroup(grouped_r).applyInArrow(
-            _csr_kernel_arrow, "dst long, contrib double"
-        )
+        cg = grouped_e.cogroup(grouped_r)
+        if self.kernel == "csr_pandas":
+            partial = cg.applyInPandas(_csr_kernel, "dst long, contrib double")
+        else:
+            partial = cg.applyInArrow(_csr_kernel_arrow, "dst long, contrib double")
         return partial.groupBy("dst").agg(F.sum("contrib").alias("contrib"))
 
     def run(
@@ -231,21 +238,34 @@ class PageRank:
         init = self.vertices.select(
             "vid", F.lit(1.0 / V).alias("rank"), "has_out", F.lit(0.0).alias("dstep")
         )
+        state = init
         if resume:
             last = ckpt.latest_valid_step()
             if last is not None:
-                start_step = last
-                state = ckpt.read(self.spark, last)
-                dangle = (
-                    state.agg(
-                        F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0))
-                    ).collect()[0][0]
-                    or 0.0
-                )
-            else:
-                state = init
-        else:
-            state = init
+                cand = ckpt.read(self.spark, last)
+                # schema compatibility gate: a checkpoint written by an
+                # older state layout (e.g. bare (vid, rank)) is ignored
+                # with a warning — resuming it would crash with an
+                # unresolved-column error mid-superstep (round-1 ADVICE).
+                required = {"vid", "rank", "has_out", "dstep"}
+                if set(cand.columns) == required:
+                    start_step = last
+                    state = cand
+                    dangle = (
+                        cand.agg(
+                            F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0))
+                        ).collect()[0][0]
+                        or 0.0
+                    )
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"pagerank: checkpoint at step {last} has columns "
+                        f"{sorted(cand.columns)} (expected {sorted(required)}); "
+                        "ignoring it and restarting from superstep 0",
+                        stacklevel=2,
+                    )
 
         for step in range(start_step, max_iter):
             t0 = time.monotonic()

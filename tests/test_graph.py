@@ -64,6 +64,7 @@ def test_pagerank_kernels_and_salt_agree(spark, agg_edges, tmp_path):
         "csr": dict(kernel="csr", salt=1),
         "sql": dict(kernel="sql", salt=1),
         "csr_salted": dict(kernel="csr", salt=4),
+        "csr_pandas": dict(kernel="csr_pandas", salt=1),
     }.items():
         pr = PageRank(spark, agg_edges, num_partitions=8, **kw)
         try:
@@ -72,7 +73,7 @@ def test_pagerank_kernels_and_salt_agree(spark, agg_edges, tmp_path):
         finally:
             pr.unpersist()
     base = outs["csr"]
-    for name in ("sql", "csr_salted"):
+    for name in ("sql", "csr_salted", "csr_pandas"):
         assert outs[name].keys() == base.keys()
         assert max(abs(outs[name][v] - base[v]) for v in base) < 1e-9, name
 
@@ -229,5 +230,29 @@ def test_cc_ignores_incompatible_checkpoint(spark, agg_edges, tmp_path):
             spark, agg_edges, ckpt_dir=ckpt_dir, num_partitions=8, resume=True
         )
         n = comps.count()
+    assert n > 0
+    assert any("ignoring it" in str(x.message) for x in w)
+
+
+def test_pagerank_ignores_incompatible_checkpoint(spark, agg_edges, tmp_path):
+    """Resume over an old-format (vid, rank) checkpoint restarts with
+    a warning instead of an unresolved-column crash (round-1 ADVICE)."""
+    import warnings
+
+    from reddit_processing_spark.plans.ckpt import CheckpointManager
+
+    ckpt_dir = str(tmp_path / "pr_old")
+    old = agg_edges.select(F.col("src").alias("vid")).distinct().select(
+        "vid", F.lit(0.1).alias("rank")
+    )
+    CheckpointManager(ckpt_dir, "pagerank").write(old, 2)
+    pr = PageRank(spark, agg_edges, num_partitions=8, kernel="sql")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ranks = pr.run(d=0.85, tol=1e-4, max_iter=5, ckpt_dir=ckpt_dir)
+            n = ranks.count()
+    finally:
+        pr.unpersist()
     assert n > 0
     assert any("ignoring it" in str(x.message) for x in w)
