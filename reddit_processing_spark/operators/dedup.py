@@ -67,9 +67,18 @@ def minhash_signature(
     The tempting alternative — H ``array_min(transform(shingles,...))``
     columns — re-inlines the shingle expression H times after
     Catalyst's projection collapse, multiplying the substring/hash work
-    by H (measured 20x slower at 5k docs)."""
+    by H (measured 20x slower at 5k docs).
+
+    Null contract (explicit, round-1 ADVICE): documents whose text is
+    NULL have no shingles and therefore NO signature row — they are
+    EXCLUDED from MinHash/LSH by definition (a null document cannot be
+    a near-duplicate of anything; exact_dedup still sees it). The
+    filter below makes the exclusion deliberate rather than an
+    artifact of explode()."""
     sh = shingle_hashes(text_col, k)
-    exploded = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
+    exploded = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("s")
+    )
     return exploded.groupBy("id").agg(
         F.array(
             *[F.min(F.xxhash64(F.lit(i), F.col("s"))) for i in range(num_hashes)]

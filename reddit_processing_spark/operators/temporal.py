@@ -15,6 +15,12 @@ key upstream if one entity owns billions of rows).
 Determinism contract: the right side must be unique per
 ``(on, right_ts)`` — pre-aggregate it (e.g. keep max id per key+ts)
 or results at tied timestamps are partition-order-dependent.
+
+Null semantics (matches pandas ``merge_asof`` / SQL ASOF JOIN): all
+``value_cols`` are taken from the SINGLE most recent matching right
+row — a genuinely NULL value in that row stays NULL (the values ride
+in one struct through ``last(ignorenulls)``; the struct itself is
+only null for the union'd left rows).
 """
 
 from __future__ import annotations
@@ -40,37 +46,62 @@ def asof_join(
     row precedes the left row).
     """
     left_cols = left.columns
-    null_vals = [
-        F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols
-    ]
-    # _side orders right rows before (inclusive) or after (exclusive)
-    # left rows at equal timestamps, realizing the boundary semantics
-    # inside one total window order.
-    l2 = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
-        *[F.col(c) for c in left_cols],
-        *null_vals,
-    )
+    conflicts = sorted(set(value_cols) & set(left_cols))
+    if conflicts:
+        raise ValueError(
+            f"asof_join: value_cols {conflicts} collide with left columns — "
+            "rename one side before joining"
+        )
+    # collision-proof generated internal names (a left column named
+    # _k/_ts/_side used to break the union — round-1 ADVICE)
+    taken = set(left_cols) | set(right.columns) | set(value_cols)
+
+    def _gen(base: str) -> str:
+        name = base
+        while name in taken:
+            name += "_"
+        taken.add(name)
+        return name
+
+    kc, tc, sc, pc = _gen("_k"), _gen("_ts"), _gen("_side"), _gen("_pay")
+
+    # ALL value columns travel inside ONE struct, so every attached
+    # value comes from the SINGLE most recent right row — including
+    # its genuine NULLs. (Per-column last(ignorenulls) would skip a
+    # null value and backfill it from an OLDER row, and different
+    # columns could come from different rows — round-1 ADVICE.)
     r2 = right.select(
-        F.col(on).alias("_k"),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0 if inclusive else 2).alias("_side"),
+        F.col(on).alias(kc),
+        F.col(right_ts).alias(tc),
+        # _side orders right rows before (inclusive) or after
+        # (exclusive) left rows at equal timestamps, realizing the
+        # boundary semantics inside one total window order.
+        F.lit(0 if inclusive else 2).alias(sc),
+        F.struct(*[F.col(c) for c in value_cols]).alias(pc),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c) for c in value_cols],
+    )
+    pay_type = r2.schema[pc].dataType
+    l2 = left.select(
+        F.col(on).alias(kc),
+        F.col(left_ts).alias(tc),
+        F.lit(1).alias(sc),
+        F.lit(None).cast(pay_type).alias(pc),
+        *[F.col(c) for c in left_cols],
     )
     w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        Window.partitionBy(kc)
+        .orderBy(tc, sc)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = l2.unionByName(r2).select(
-        "_side",
+        sc,
         *[F.col(c) for c in left_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last(pc, ignorenulls=True).over(w).alias(pc),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return filled.filter(F.col(sc) == 1).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"{pc}.{c}").alias(c) for c in value_cols],
+    )
 
 
 def range_join_buckets(

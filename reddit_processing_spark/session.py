@@ -16,6 +16,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+MIN_SHM_FREE_BYTES = 16 * 1024**3
+
+
+def _scratch_dir() -> str:
+    """/dev/shm/spark-local only when the tmpfs has ≥16 GiB free AND
+    ≥25% of its capacity unused; /tmp otherwise."""
+    try:
+        st = os.statvfs("/dev/shm")
+        free = st.f_bavail * st.f_frsize
+        total = st.f_blocks * st.f_frsize
+        if free >= MIN_SHM_FREE_BYTES and total > 0 and free / total >= 0.25:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "reddit_processing_spark",
     master: str | None = None,
@@ -63,14 +80,15 @@ def get_spark(
         # the sandbox analog of the NVMe/ramdisk local dirs every real
         # cluster uses; keeps benchmark walls from measuring virtio
         # writeback stalls instead of the engine. Checkpoints still go
-        # to the caller-chosen (durable) path.
-        .config(
-            "spark.local.dir",
-            os.environ.get(
-                "SPARK_LOCAL_DIRS",
-                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-            ),
-        )
+        # to the caller-chosen (durable) path. GATED on free tmpfs
+        # space (round-1 ADVICE): /dev/shm is capped (~50% of RAM) and
+        # shared with executor memory, so large shuffles there fail
+        # with no-space errors and crashed runs pin spill files in RAM
+        # — fall back to disk unless tmpfs has comfortable headroom.
+        # Escape hatch: set SPARK_LOCAL_DIRS explicitly (also the knob
+        # on real clusters, where the cluster manager overrides
+        # spark.local.dir anyway).
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", _scratch_dir()))
         # deterministic float behavior across runs is helped by a fixed
         # partitioning story; nothing here uses sampling or rand().
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

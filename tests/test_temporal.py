@@ -101,3 +101,48 @@ def test_range_join_is_broadcast(spark):
     buckets = spark.createDataFrame([(0, 1.0, 10.0)], "bucket_id long, lo double, hi double")
     plan = range_join_buckets(facts, buckets, "v")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_null_value_from_matched_row_stays_null(spark):
+    """A right row whose value is genuinely NULL must yield NULL — not
+    a stale value backfilled from an OLDER right row — and with
+    multiple value_cols every value comes from the SAME matched row
+    (round-1 ADVICE)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2026-01-01T00:00:20"))], "event_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2026-01-01T00:00:01"), 7, "old"),
+            (10, _ts("2026-01-01T00:00:10"), None, "new"),
+        ],
+        "k long, rts timestamp, val long, tag string",
+    )
+    row = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", value_cols=["val", "tag"]
+    ).collect()[0]
+    assert row["tag"] == "new"
+    assert row["val"] is None  # NOT 7
+
+
+def test_asof_reserved_left_column_names(spark):
+    """Left columns named like the old internals (_k/_ts/_side) must
+    survive untouched (collision-proof generated names)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2026-01-01T00:00:05"), "x", 9)],
+        "event_id long, k long, ts timestamp, _k string, _side long",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2026-01-01T00:00:03"), 100)], "k long, rts timestamp, val long"
+    )
+    row = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", value_cols=["val"]
+    ).collect()[0]
+    assert row["val"] == 100 and row["_k"] == "x" and row["_side"] == 9
+
+
+def test_asof_value_col_conflict_raises(spark, frames):
+    left, right = frames
+    r2 = right.withColumnRenamed("val", "event_id")
+    with pytest.raises(ValueError, match="collide with left columns"):
+        asof_join(left, r2, on="k", left_ts="ts", right_ts="rts", value_cols=["event_id"])
