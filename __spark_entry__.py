@@ -1557,6 +1557,47 @@ SELECT count(*) AS total_rows, CAST(0 AS BIGINT) AS order_inversions FROM events
 """
 
 
+def _stream_conversation_state(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState,
+    rows-only): per-conversation running state with event-time idle
+    close-out, replayed over the fixture in time-ordered micro-batches
+    so conversations genuinely time out mid-stream. Exact parity with
+    the batch groupBy is asserted in tests/test_streaming_state.py."""
+    import uuid
+
+    from reddit_processing_spark.streaming.incremental import (
+        conversation_state_tracker,
+        read_transcript_stream,
+    )
+
+    src = spark.read.parquet(_fixture_glob())
+    path = tempfile.mkdtemp(prefix="drv_state_src_") + "/transcripts"
+    src.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(path)
+    stream = read_transcript_stream(spark, path, max_files_per_trigger=1)
+    tracked = conversation_state_tracker(stream, watermark="0 seconds", idle_gap_minutes=30)
+    qname = f"drv_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        tracked.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="drv_state_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.table(qname)
+        .groupBy("status")
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.max("n_turns").cast("long").alias("max_turns"),
+        )
+        .orderBy("status")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family (SURVEY.md §2)."""
     return {
@@ -1616,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup_lsh": _embed_near_dup_lsh,
         "multimodal_features": _multimodal_features,
         "stream_window_counts": _stream_window_counts,
+        "stream_conversation_state": _stream_conversation_state,
     }
 
 

@@ -51,6 +51,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     reg = entrymod.queries()
+    # Warm-up pass (untimed): first-touch costs — JVM class loading,
+    # codegen compilation, parquet footer reads, Python worker spawn —
+    # land here instead of inside the first timed query. Standard
+    # steady-state benchmarking; per-query numbers then measure the
+    # PLAN, not session warm-up.
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).limit(1).count()
+    reg["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     for name in (
         "q1_pricing_summary",
         "q3_top_orders",
@@ -61,6 +70,10 @@ def main() -> None:
         "dedup_minhash_pairs",
         "sim_topk_cosine",
         "tri_part_cooccurrence",
+        "embed_near_dup_lsh",
+        "ann_lsh_topk",
+        "scan_csv_roundtrip",
+        "merge_flat_ordering",
     ):
         q = reg[name]
         timings[name] = _time(lambda q=q: q(spark, sf_dir).write.format("noop").mode("overwrite").save())
@@ -96,6 +109,21 @@ def main() -> None:
 
     edges_per_sec = E / per_step["csr"]
 
+    # ---- CC frontier-delta evidence: run to convergence, record the
+    # per-superstep message volume (shrinks to the active rim) ----
+    from reddit_processing_spark.graph.components import connected_components
+    from reddit_processing_spark.plans.ckpt import CheckpointManager
+
+    cc_dir = tempfile.mkdtemp(prefix="bench_cc_")
+    t2 = time.monotonic()
+    connected_components(
+        spark, agg, max_iter=20, ckpt_dir=cc_dir,
+        num_partitions=2 * int(cpus), frontier=True,
+    )
+    timings["cc_delta_to_convergence"] = round(time.monotonic() - t2, 3)
+    cc_hist = CheckpointManager(cc_dir, "components").metrics_history()
+    cc_msg_rows = [h.get("msg_rows") for h in cc_hist]
+
     print(
         json.dumps(
             {
@@ -108,6 +136,8 @@ def main() -> None:
                 "supersteps": BENCH_SUPERSTEPS,
                 "cpus": int(cpus),
                 "fixture_tier": tier,
+                "cc_supersteps": len(cc_msg_rows),
+                "cc_msg_rows": cc_msg_rows,
             }
         )
     )

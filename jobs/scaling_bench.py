@@ -100,10 +100,15 @@ def main() -> None:
     ).fetchone()[0]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # raw per-run report; the consolidated analysis lives in
+    # BENCH/BASELINE.md (hand-maintained, never clobbered here)
+    md = os.path.join(
+        REPO, "BENCH",
+        f"SCALING_{args.tier}_{args.n}_{4 * args.n}_{args.kernel}.md",
+    )
     with open(md, "w") as f:
         f.write(
-            f"""# BENCH/BASELINE.md — two-parallelism scaling evidence
+            f"""# {os.path.basename(md)} — two-parallelism scaling evidence
 
 Protocol per BASELINE.md: same fixture (tier `{args.tier}`,
 {lo["edges"]} aggregated edges, {lo["vertices"]} vertices), same code,

@@ -68,3 +68,92 @@ def streaming_edges_foreach_batch(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def conversation_state_tracker(
+    transcripts: DataFrame,
+    watermark: str = "1 hour",
+    idle_gap_minutes: int = 120,
+) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY.md §2.10 /
+    BASELINE.json "applyInPandasWithState for custom stateful
+    operators"): per-conversation running state with event-time
+    session close-out.
+
+    For every conversation the operator maintains (n_turns, first_ts,
+    last_ts) across micro-batches and emits an ``open`` update row per
+    batch that touches it; when the event-time watermark passes
+    ``last_ts + idle_gap_minutes`` the state times out, the
+    conversation is emitted once as ``closed`` and its state is freed
+    — bounded state for unbounded streams, the semantics Spark's
+    built-in windowed aggs can't express (the close-out row carries
+    the FULL accumulated lifetime of the conversation, not one
+    window's slice).
+
+    The per-batch work is Arrow-batched pandas (no per-row Python):
+    each group's rows arrive as pandas DataFrames; state is a tuple of
+    scalars.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    idle_us = idle_gap_minutes * 60 * 1_000_000
+
+    def track(key, pdfs, state):
+        import pandas as pd
+
+        conv_id = key[0]
+        if state.hasTimedOut:
+            n, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [n],
+                    "first_ts": [pd.Timestamp(first_us, unit="us")],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                    "status": ["closed"],
+                }
+            )
+            return
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # explicit µs: pandas datetime64 may arrive at ns or µs
+            # resolution depending on the Arrow bridge — a bare
+            # .astype('int64') would silently be off by 1000x.
+            ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            n += len(pdf)
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        # event-time timeout: fires when the WATERMARK passes this
+        # timestamp — i.e. the conversation has been idle for the gap.
+        # Clamped: a conversation whose rows arrive when its idle
+        # deadline is ALREADY behind the watermark (Spark rejects a
+        # timeout <= watermark) closes at the next trigger instead.
+        deadline_ms = (last_us + idle_us) // 1000
+        state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_turns": [n],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "status": ["open"],
+            }
+        )
+
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="conv_id string, n_turns long, first_ts timestamp, "
+            "last_ts timestamp, status string",
+            stateStructType="n long, first_us long, last_us long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
