@@ -37,6 +37,23 @@ CHECKS = {
     "topk_global_lineitems": [
         ("TakeOrderedAndProject", "global top-k avoids a full sort"),
     ],
+    "embed_near_dup_lsh": [
+        ("MapInArrow", "LSH bucketing is ONE Arrow kernel pass, not n_tables*n_planes inlined literal dot products"),
+    ],
+    "ann_lsh_topk": [
+        ("MapInArrow", "query+base bucketing via the Arrow kernel"),
+        ("BroadcastHashJoin", "bucket probe broadcasts the (small) query side"),
+    ],
+    "scan_csv_roundtrip": [
+        ("Scan csv", "text scan through the CSV datasource with explicit schema"),
+        ("ReadSchema:", "schema carried into the scan, never inferred"),
+    ],
+    "map_metrics_blob": [
+        ("ObjectHashAggregate", "map_from_arrays built via object hash agg (collect_list), not sort-based fallback"),
+    ],
+    "set_ops_custkeys": [
+        ("HashAggregate", "single-plan union/intersect/except via tag+groupBy (no driver-side counts)"),
+    ],
 }
 
 
