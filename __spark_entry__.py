@@ -923,6 +923,24 @@ def _graph_cc_sizes(spark, sf):
     )
 
 
+def _graph_cc_star_sizes(spark, sf):
+    """Large-star/small-star CC (O(log²) rounds — the production path
+    for deep-diameter graphs); exact equality with hash-min asserted
+    in tests/test_graph.py."""
+    from reddit_processing_spark.graph.components import connected_components_star
+    from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+    t = spark.read.parquet(_fixture_glob())
+    edges, _ = derive_edges(t, n_users=TINY_N_USERS)
+    comps = connected_components_star(
+        spark, aggregate_edges(edges), num_partitions=8,
+        ckpt_dir=tempfile.mkdtemp(prefix="drv_ccstar_"),
+    )
+    return comps.groupBy("comp").agg(F.count("*").alias("size")).orderBy(
+        F.desc("size"), F.asc("comp")
+    )
+
+
 def _graph_lpa_sizes(spark, sf):
     from reddit_processing_spark.graph.lpa import label_propagation
     from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
@@ -1650,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (iterative fixpoints / hash-sketch dependent):
         "graph_pagerank_top20": _graph_pagerank_top20,
         "graph_cc_sizes": _graph_cc_sizes,
+        "graph_cc_star_sizes": _graph_cc_star_sizes,
         "graph_lpa_sizes": _graph_lpa_sizes,
         "dedup_minhash_pairs": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,

@@ -256,3 +256,21 @@ def test_pagerank_ignores_incompatible_checkpoint(spark, agg_edges, tmp_path):
         pr.unpersist()
     assert n > 0
     assert any("ignoring it" in str(x.message) for x in w)
+
+
+def test_cc_star_matches_hash_min_and_networkx(spark, agg_edges, nx_graph, tmp_path):
+    """Large-star/small-star CC (the O(log²)-round production path)
+    produces exactly the hash-min labeling: comp = min vid of the
+    component, verified against networkx."""
+    from reddit_processing_spark.graph.components import connected_components_star
+
+    comps = connected_components_star(
+        spark, agg_edges, ckpt_dir=str(tmp_path / "ccstar"), num_partitions=8
+    )
+    got = {r.vid: r.comp for r in comps.collect()}
+    hm = connected_components(
+        spark, agg_edges, ckpt_dir=str(tmp_path / "cchm"), num_partitions=8
+    )
+    assert got == {r.vid: r.comp for r in hm.collect()}
+    for comp_set in nx.connected_components(nx_graph):
+        assert {got[v] for v in comp_set} == {min(comp_set)}
