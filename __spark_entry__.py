@@ -1593,6 +1593,12 @@ def _stream_conversation_state(spark, sf):
     src.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
         "overwrite"
     ).parquet(path)
+    # pin file mtimes to range order: the file stream batches by
+    # mtime, and out-of-order batches would watermark-drop early rows
+    import glob as _glob
+
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(path, "part-*.parquet")))):
+        os.utime(f, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
     stream = read_transcript_stream(spark, path, max_files_per_trigger=1)
     tracked = conversation_state_tracker(stream, watermark="0 seconds", idle_gap_minutes=30)
     qname = f"drv_state_{uuid.uuid4().hex[:8]}"

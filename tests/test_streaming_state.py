@@ -31,6 +31,15 @@ def ordered_stream_dir(spark, tiny_dir, tmp_path_factory):
     df.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
         "overwrite"
     ).parquet(out)
+    # the file stream orders batches by file MTIME — pin mtimes to the
+    # range order (part-00000 = lowest ts range) or batch order is a
+    # filesystem race and early rows can arrive behind the watermark
+    import glob
+    import time as _t
+
+    for i, f in enumerate(sorted(glob.glob(os.path.join(out, "part-*.parquet")))):
+        os.utime(f, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+    _t.sleep(0.01)
     return out
 
 
