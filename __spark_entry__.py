@@ -1622,6 +1622,37 @@ def _stream_conversation_state(spark, sf):
     )
 
 
+def _stream_session_counts(spark, sf):
+    """Event-time session windows (session_window, rows-only): gap-
+    based sessionization of the transcript stream; batch parity
+    asserted in tests/test_functions_streaming.py."""
+    import uuid
+
+    from reddit_processing_spark.streaming.incremental import (
+        read_transcript_stream,
+        streaming_session_counts,
+    )
+
+    stream = read_transcript_stream(spark, _fixture_glob())
+    sess = streaming_session_counts(stream, gap="30 minutes", watermark="0 seconds")
+    qname = f"drv_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="drv_sess_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.table(qname)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_turns").cast("long").alias("n_turns"))
+        .orderBy("conv_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family (SURVEY.md §2)."""
     return {
@@ -1683,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "stream_window_counts": _stream_window_counts,
         "stream_conversation_state": _stream_conversation_state,
+        "stream_session_counts": _stream_session_counts,
     }
 
 

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser()
-    p.add_argument("--algo", choices=["cc", "lpa", "triangles"], required=True)
+    p.add_argument("--algo", choices=["cc", "cc_star", "lpa", "triangles"], required=True)
     p.add_argument("--transcripts", required=True)
     p.add_argument("--ckpt", default=None)
     p.add_argument("--out", required=True)
@@ -32,7 +32,10 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--n-users", type=int, default=None)
     args = p.parse_args(argv)
 
-    from reddit_processing_spark.graph.components import connected_components
+    from reddit_processing_spark.graph.components import (
+        connected_components,
+        connected_components_star,
+    )
     from reddit_processing_spark.graph.lpa import label_propagation
     from reddit_processing_spark.graph.triangles import triangle_count
     from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
@@ -57,6 +60,12 @@ def main(argv: list[str] | None = None) -> dict:
             num_partitions=args.partitions,
         )
         manifest_algo = "components"
+    elif args.algo == "cc_star":
+        out = connected_components_star(
+            spark, agg, max_rounds=args.max_iter, ckpt_dir=args.ckpt,
+            num_partitions=args.partitions,
+        )
+        manifest_algo = "cc_star"
     elif args.algo == "lpa":
         out = label_propagation(
             spark, agg, max_iter=args.max_iter, ckpt_dir=args.ckpt,

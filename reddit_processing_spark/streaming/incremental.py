@@ -157,3 +157,24 @@ def conversation_state_tracker(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_session_counts(
+    transcripts: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Event-time SESSION windows (dynamic-gap sessionization, the
+    built-in complement to ``conversation_state_tracker``): turns for
+    one conversation separated by less than ``gap`` merge into one
+    session; a session closes — and emits exactly once (append mode)
+    — when the watermark passes its end."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("conv_id"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "conv_id",
+            "n_turns",
+        )
+    )

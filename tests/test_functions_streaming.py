@@ -145,3 +145,68 @@ def test_streaming_edges_and_counts(spark, tiny_dir, tmp_path):
     # append mode only emits windows the watermark has closed; with a
     # finite file source all windows eventually close except the newest
     assert res is None or res > 0
+
+
+def test_streaming_session_counts_match_batch_sessionization(spark, tiny_dir, tmp_path):
+    """session_window streaming agg == batch gap-based sessionization
+    (lag + cumulative session ids), run to completion with availableNow."""
+    import os
+    import uuid
+
+    from pyspark.sql import Window
+
+    from reddit_processing_spark.streaming.incremental import (
+        read_transcript_stream,
+        streaming_session_counts,
+    )
+
+    stream = read_transcript_stream(spark, os.path.join(tiny_dir, "*.parquet"))
+    sess = streaming_session_counts(stream, gap="30 minutes", watermark="0 seconds")
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table(qname)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_turns").cast("long").alias("n_turns"))
+        .toPandas()
+        .set_index("conv_id")
+    )
+
+    # batch oracle: classic gap sessionization over the same rows
+    t = spark.read.parquet(os.path.join(tiny_dir, "*.parquet"))
+    w = Window.partitionBy("conv_id").orderBy("ts")
+    batch = (
+        t.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | (
+                    F.col("ts").cast("timestamp").cast("long")
+                    - F.col("prev").cast("timestamp").cast("long")
+                    >= 30 * 60
+                )
+            ).cast("long"),
+        )
+        .groupBy("conv_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").cast("long").alias("n_turns"))
+        .toPandas()
+        .set_index("conv_id")
+    )
+    # append mode only emits CLOSED sessions; with watermark delay 0
+    # every session closes except those still open at end-of-stream —
+    # compare the conversations fully emitted
+    for conv in got.index:
+        assert got.loc[conv, "n_turns"] <= batch.loc[conv, "n_turns"]
+    full = got[got["n_turns"] == batch.loc[got.index, "n_turns"]]
+    assert len(full) > 0
+    for conv in full.index:
+        assert full.loc[conv, "n_sessions"] == batch.loc[conv, "n_sessions"], conv
