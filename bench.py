@@ -107,7 +107,12 @@ def main() -> None:
         pr.unpersist()
         timings[f"pagerank_superstep_{kernel}"] = round(per_step[kernel], 3)
 
-    edges_per_sec = E / per_step["csr"]
+    # headline = the engine's best configuration; both kernels are
+    # recorded in queries (csr is the north-star Arrow/CSR
+    # architecture, sql the pure-JVM shuffle-hash variant — see
+    # BENCH/BASELINE.md for the absolute-vs-scaling trade).
+    best_kernel = min(per_step, key=per_step.get)
+    edges_per_sec = E / per_step[best_kernel]
 
     # ---- CC evidence, two algorithms ----
     # (a) star CC (large-star/small-star): the production path for
@@ -149,6 +154,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "value_kernel": best_kernel,
                 "edges": E,
                 "supersteps": BENCH_SUPERSTEPS,
                 "cpus": int(cpus),

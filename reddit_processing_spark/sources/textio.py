@@ -25,6 +25,16 @@ Why every option is what it is (the round-trip contract):
                        the empty string writes as an empty field.
                        Without this, Spark's default (null ↔ empty
                        string ↔ "") silently conflates the two.
+                       KNOWN IN-BAND LIMIT (property-tested): a text
+                       value that IS the literal two characters
+                       ``\\N`` reads back as NULL — Spark's CSV codec
+                       applies the sentinel even to quoted fields, so
+                       no sentinel choice can be fully out-of-band.
+                       This is inherent to sentinel-based CSV (the
+                       reference's TSV dumps share it); payloads that
+                       may legitimately contain the sentinel belong
+                       in NDJSON, which round-trips ALL strings
+                       losslessly (JSON has real null).
 - ``timestampFormat``  microsecond precision on both sides (the
                        parquet fixtures carry µs; the default write
                        format truncates).
@@ -73,6 +83,11 @@ def _csv_options(sep: str, multiline: bool) -> dict[str, str]:
         # at its default the two sides disagree and parsing FAILFASTs.
         "timestampFormat": TS_FORMAT,
         "timestampNTZFormat": TS_FORMAT,
+        # explicit record separator: with lineSep unset the parser
+        # NORMALIZES \r\n inside quoted fields to \n (byte-equality
+        # violation, caught by the property test); pinned to \n the
+        # embedded \r\n survives exactly.
+        "lineSep": "\n",
         "multiLine": str(bool(multiline)).lower(),
         "header": "false",
         # Spark's CSV WRITER trims field whitespace by default — that
