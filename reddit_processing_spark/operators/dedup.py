@@ -94,15 +94,28 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 5,
     threshold: float = 0.7,
+    signature_impl: str = "sql",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     LSH generates candidates (same hash in any band); candidates are
     verified with the EXACT shingle-set Jaccard, so the output has no
     false positives — LSH only affects recall.
+
+    ``signature_impl``: 'sql' (explode + groupBy, one shuffle of the
+    exploded shingles — default; measured fastest in local mode) or
+    'arrow' (``minhash_signature_arrow``: zero-shuffle vectorized
+    kernel — candidate for network-bound clusters; see its docstring
+    for the measurement). Banding, candidate join, and exact
+    verification are identical either way.
     """
     rows = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, k)
+    if signature_impl == "arrow":
+        sigs = minhash_signature_arrow(df, text_col, id_col, num_hashes, k)
+    elif signature_impl == "sql":
+        sigs = minhash_signature(df, text_col, id_col, num_hashes, k)
+    else:
+        raise ValueError(f"unknown signature_impl {signature_impl!r}")
     banded = sigs.select(
         "id",
         F.explode(
@@ -278,3 +291,132 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ----------------------------------------------- minhash (arrow kernel)
+def _splitmix64_np(x):
+    import numpy as np
+
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def minhash_signature_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """(id, sig:array<long>) — ZERO-SHUFFLE MinHash signatures via one
+    vectorized ``mapInArrow`` pass.
+
+    The explode+groupBy formulation (``minhash_signature``) is a
+    one-shuffle plan whose shuffle VOLUME is the exploded shingle set
+    — ~8 bytes per input character, i.e. ~the corpus size crosses the
+    NETWORK once on a real cluster. This kernel computes each
+    document's signature entirely within its input partition, trading
+    that network shuffle for an Arrow hop of the raw text into the
+    Python worker.
+
+    MEASURED (local[32], 250k docs, warm): sql 5.5 s vs arrow 11.2 s —
+    in LOCAL mode the "shuffle" is an in-process RAM exchange and the
+    codegen'd JVM path wins, so ``sql`` stays the default; the arrow
+    path is the option to evaluate on a real cluster where the
+    exploded-shingle exchange costs actual network/disk. Recorded per
+    the measure-don't-guess rule rather than assumed.
+
+    - all batch texts concatenate into ONE UTF-32 codepoint buffer
+      (bulk C conversion, no per-row Python on the char path);
+    - k-gram hashes come from a vectorized polynomial rolling hash
+      over ``sliding_window_view`` (wrapping uint64, k small);
+    - windows crossing document boundaries are masked out via the
+      repeat/cumsum doc-index trick;
+    - per-hash minima are ``np.minimum.reduceat`` over doc segments
+      after mixing the shingle hashes with per-hash splitmix64 seeds.
+
+    Signature VALUES differ from ``minhash_signature`` (different
+    64-bit hash family — both deterministic); the downstream contract
+    is identical: banded LSH candidates verified with EXACT shingle
+    Jaccard, so emitted pairs remain false-positive-free and only
+    recall characteristics may differ marginally. Docs with NULL text
+    are excluded (same contract as ``minhash_signature``); docs with
+    ≤ k chars hash the whole text as their single shingle.
+    """
+    import numpy as np
+
+    H = num_hashes
+    seeds = _splitmix64_np(np.arange(1, H + 1, dtype=np.uint64) * np.uint64(0x9E37))
+    B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier, wraps mod 2^64
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids_all = b.column(0).to_numpy(zero_copy_only=False)
+            texts = b.column(1).to_pylist()
+            keep = np.asarray(
+                b.column(1).is_valid().to_numpy(zero_copy_only=False), dtype=bool
+            )
+            ids = ids_all[keep]
+            texts = [t for t in texts if t is not None]
+            n = len(texts)
+            if n == 0:
+                continue
+            lens = np.fromiter(map(len, texts), dtype=np.int64, count=n)
+            buf = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+            sigs = np.full((n, H), np.iinfo(np.uint64).max, dtype=np.uint64)
+
+            n_win = len(buf) - k + 1
+            if n_win > 0:
+                # vectorized polynomial rolling hash over all windows
+                h = np.zeros(n_win, dtype=np.uint64)
+                for j in range(k):
+                    h = h * B + buf[j : j + n_win]
+                valid = doc_of[:n_win] == doc_of[k - 1 :]
+                win_doc = doc_of[:n_win][valid]
+                sh = _splitmix64_np(h[valid])
+                if len(sh):
+                    # segment boundaries per doc (win_doc ascending)
+                    seg = np.searchsorted(win_doc, np.arange(n, dtype=np.int64))
+                    has = np.zeros(n, dtype=bool)
+                    has[win_doc] = True
+                    idx = np.flatnonzero(has)
+                    for i in range(H):
+                        mixed = _splitmix64_np(sh ^ seeds[i])
+                        mins = np.minimum.reduceat(mixed, seg[idx])
+                        sigs[idx, i] = mins
+            # short docs (len <= k, incl. empty → hash of ''): whole
+            # text as the single shingle, same polynomial
+            short = np.flatnonzero(lens <= k)
+            for d in short:
+                seg = buf[starts[d] : starts[d] + lens[d]]
+                h = np.uint64(0)
+                for c in seg:
+                    h = h * B + c
+                sh1 = _splitmix64_np(np.array([h], dtype=np.uint64))
+                sigs[d] = _splitmix64_np(sh1 ^ seeds)
+
+            vals = pa.array(sigs.reshape(-1).view(np.int64), pa.int64())
+            offsets = pa.array(
+                np.arange(0, (n + 1) * H, H, dtype=np.int32), pa.int32()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64), pa.int64()),
+                    pa.ListArray.from_arrays(offsets, vals),
+                ],
+                ["id", "sig"],
+            )
+
+    src = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("t"))
+    return src.mapInArrow(kernel, "id long, sig array<long>")

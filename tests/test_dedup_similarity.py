@@ -195,3 +195,55 @@ def test_lsh_bucket_table_matches_column_oracle(spark, emb):
     assert (got["id"].to_numpy() == ref["id"].to_numpy()).all()
     assert (got["tbl"].to_numpy() == ref["tbl"].to_numpy()).all()
     assert (got["bkt"].to_numpy() == ref["bkt"].to_numpy()).all()
+
+
+def test_minhash_arrow_signature_properties(spark, docs):
+    """Zero-shuffle Arrow signature kernel: H mins per doc, null-text
+    exclusion, determinism across partitionings (signature is a pure
+    per-doc function), and identical-text docs get identical sigs."""
+    from reddit_processing_spark.operators.dedup import minhash_signature_arrow
+
+    with_null = docs.unionByName(
+        spark.createDataFrame(
+            [(900001, None, "en", "null_text", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    s1 = minhash_signature_arrow(with_null, num_hashes=16).toPandas()
+    assert 900001 not in set(s1["id"])
+    assert (s1["sig"].map(len) == 16).all()
+    s2 = (
+        minhash_signature_arrow(with_null.repartition(7), num_hashes=16)
+        .toPandas()
+        .set_index("id")["sig"]
+        .map(list)
+    )
+    s1m = s1.set_index("id")["sig"].map(list)
+    assert dict(s1m) == dict(s2)
+    # planted exact duplicates share their source's signature
+    assert list(s1m[100000]) == list(s1m[3])
+    assert list(s1m[100001]) == list(s1m[7])
+
+
+def test_minhash_lsh_arrow_impl_finds_planted(spark, docs):
+    """The arrow signature path drops into the identical banding +
+    exact-verify pipeline: planted exact dups at jaccard 1.0, near
+    dups found, and every emitted pair's jaccard is the TRUE shingle
+    jaccard (no false positives by construction)."""
+    pairs = minhash_lsh_pairs(docs, threshold=0.6, signature_impl="arrow").toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    for a, b in [(3, 100000), (7, 100001), (11, 100002)]:
+        assert (a, b) in found
+        assert pairs.set_index(["id_a", "id_b"]).loc[(a, b), "jaccard"] == 1.0
+    assert any(a in (5, 9) for a, _ in found)  # near dups
+
+    pdf = docs.toPandas().set_index("doc_id")["text"]
+
+    def sh(t):
+        if len(t) <= 5:
+            return {t}
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    for a, b, j in pairs.itertuples(index=False):
+        sa, sb = sh(pdf[a]), sh(pdf[b])
+        assert abs(len(sa & sb) / len(sa | sb) - j) < 1e-9
