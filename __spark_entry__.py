@@ -1329,6 +1329,80 @@ def _stream_window_counts(spark, sf):
     )
 
 
+# ---- statistics aggregates (stddev/var/corr/covar, exact percentiles)
+def _stats_agg_lineitem(spark, sf):
+    """Statistical aggregate family over integer-cents inputs (exact
+    across engines up to accumulation order; rounded 4dp to absorb
+    the last-ulp noise)."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("price_c"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.stddev_samp("qty"), 4).alias("sd_qty"),
+            F.round(F.var_samp("qty"), 4).alias("var_qty"),
+            F.round(F.corr("qty", "price_c"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("qty", "price_c"), 2).alias("covar_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_STATS_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem)
+SELECT l_returnflag,
+       count(*)                                   AS n,
+       round(stddev_samp(qty), 4)                 AS sd_qty,
+       round(var_samp(qty), 4)                    AS var_qty,
+       round(corr(qty, price_c), 4)               AS corr_qty_price,
+       round(covar_samp(qty, price_c), 2)         AS covar_qty_price
+FROM li GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _percentiles_by_segment(spark, sf):
+    """EXACT percentiles (Spark `percentile` = linear-interpolated
+    continuous percentile, DuckDB `quantile_cont`) of order value per
+    market segment — the exact flavor so both engines agree to the
+    ulp; rounded 2dp (cents inputs)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", _cents("o_totalprice").alias("price_c")
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("price_c", F.lit(0.5)), 2).alias("p50_c"),
+            F.round(F.percentile("price_c", F.lit(0.9)), 2).alias("p90_c"),
+            F.round(F.percentile("price_c", F.lit(0.99)), 2).alias("p99_c"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_PCTL_SQL = """
+WITH j AS (
+  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT c_mktsegment,
+       round(quantile_cont(price_c, 0.5), 2)  AS p50_c,
+       round(quantile_cont(price_c, 0.9), 2)  AS p90_c,
+       round(quantile_cont(price_c, 0.99), 2) AS p99_c,
+       count(*)                               AS n
+FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # ---- J7 full outer join -------------------------------------------
 def _join_full_outer(spark, sf):
     """FULL OUTER customer⋈orders with BOTH null sides non-empty
@@ -1697,6 +1771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup_exact": _embed_near_dup_exact,
         "join_full_outer_counts": _join_full_outer,
         "map_metrics_blob": _map_metrics_blob,
+        "stats_agg_lineitem": _stats_agg_lineitem,
+        "percentiles_by_segment": _percentiles_by_segment,
         "scan_csv_roundtrip": _scan_csv_roundtrip,
         "scan_ndjson_roundtrip": _scan_ndjson_roundtrip,
         "split_bucket_invariants": _split_bucket_invariants,
@@ -1765,6 +1841,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup_exact": _EMBDUP_SQL,
         "join_full_outer_counts": _FULL_OUTER_SQL,
         "map_metrics_blob": _MAP_SQL,
+        "stats_agg_lineitem": _STATS_SQL,
+        "percentiles_by_segment": _PCTL_SQL,
         "scan_csv_roundtrip": _SCAN_RT_SQL,
         "scan_ndjson_roundtrip": _SCAN_RT_SQL,
         "split_bucket_invariants": _SPLIT_SQL,
