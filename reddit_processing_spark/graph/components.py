@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..plans.ckpt import CheckpointManager
+from ..plans.ckpt import CheckpointManager, graph_fingerprint
 
 STATE_COLS = {"vid", "comp", "chg"}
 
@@ -114,6 +114,12 @@ def connected_components(
     sym = symmetrize(edges).repartition(P, "src").persist(StorageLevel.MEMORY_AND_DISK)
     vertices = sym.select(F.col("src").alias("vid")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     # (sym carries both directions, so src alone covers every endpoint)
+    # graph fingerprint: stamped into every manifest so a stale ckpt_dir
+    # written for a DIFFERENT edge set is rejected at resume instead of
+    # passing the schema-only gate (round-2 ADVICE). One scalar agg
+    # over the just-persisted sym — it doubles as the persist warm-up
+    # the first superstep would otherwise pay.
+    ckpt.fingerprint = graph_fingerprint(sym)
 
     start = 0
     comps = vertices.select(
@@ -166,7 +172,15 @@ def connected_components(
                     "ocomp",
                 )
             )
-        new = new.select("vid", "comp", (F.col("comp") != F.col("ocomp")).alias("chg"))
+        # coalesce→True: a vid with NO prior state row (possible only
+        # when resuming foreign/partial state) has ocomp NULL — it must
+        # ENTER the frontier, not silently drop out of it forever
+        # (round-2 ADVICE; dense mode self-heals, frontier must too).
+        new = new.select(
+            "vid",
+            "comp",
+            F.coalesce(F.col("comp") != F.col("ocomp"), F.lit(True)).alias("chg"),
+        )
         obs = Observation(f"cc_step_{step + 1}")
         observed = new.observe(obs, F.sum(F.col("chg").cast("long")).alias("changed"))
         written = ckpt.write(observed, step + 1)
@@ -263,6 +277,7 @@ def connected_components_star(
         return int(row["n"]), int(row["h"])
 
     prev_sig = None
+    converged = False
     for rnd in range(max_rounds):
         t0 = time.monotonic()
         # ---- large-star: neighbors from BOTH orientations ----------
@@ -304,8 +319,23 @@ def connected_components_star(
         )
         e = written
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+
+    if not converged:
+        # exhausting max_rounds mid-rewrite yields per-vertex LOCAL
+        # minima below, not component minima — plausible-looking but
+        # WRONG labels with no signal (round-2 ADVICE). Surface it.
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star: edge signature did not "
+            f"stabilize within max_rounds={max_rounds}; the returned "
+            "labels are NOT guaranteed to be component minima — raise "
+            "max_rounds (convergence needs O(log² |V|) rounds)",
+            stacklevel=2,
+        )
 
     # fixpoint: stars — every non-min vertex has exactly one edge to
     # its component min; min vertices (and isolated inputs) map to self

@@ -30,6 +30,16 @@ Skew (``salt > 1``): explicit two-stage weight sum — partial
 bounds any single reduce key's fan-in from a mega-hub (SURVEY §2.11
 ``salted_repartition``; map-side partial aggregation combines per
 task already, the explicit stage is the spill-independent guarantee).
+
+Salted exactness is CONDITIONAL on the weights (round-2 ADVICE):
+double summation is not associative, so regrouping by ``_slt`` can in
+principle change the rounding of a score ``s`` and flip the argmax at
+a near-tie. In this pipeline ``aggregate_edges`` weights are
+integer-valued doubles whose partial sums are all exactly
+representable (< 2^53), so salted ≡ unsalted bit-exactly (the
+equality test asserts it). For arbitrary float weights, salted LPA is
+exact only up to float summation order — unlike CC, whose ``min`` is
+genuinely associative.
 """
 
 from __future__ import annotations
@@ -40,7 +50,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..plans.ckpt import CheckpointManager
+from ..plans.ckpt import CheckpointManager, graph_fingerprint
 from .components import _annotate, _resume_state
 
 STATE_COLS = {"vid", "label", "chg"}
@@ -76,6 +86,9 @@ def label_propagation(
 
     sym = symmetrize_weighted(edges).repartition(P, "src").persist(StorageLevel.MEMORY_AND_DISK)
     vertices = sym.select(F.col("src").alias("vid")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # reject stale checkpoints from a different weighted edge set
+    # (weights flip argmaxes, so they're part of the identity)
+    ckpt.fingerprint = graph_fingerprint(sym, cols=("src", "dst", "w"))
 
     start = 0
     labels = vertices.select("vid", F.col("vid").alias("label"), F.lit(True).alias("chg"))

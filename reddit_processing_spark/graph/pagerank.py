@@ -183,7 +183,18 @@ class PageRank:
         else:
             keys = ["blk", "slt"] if self.salt > 1 else ["blk"]
         self.enorm = enorm.repartition(self.P, *keys).persist(StorageLevel.MEMORY_AND_DISK)
-        self.E = self.enorm.count()
+        # E and the graph fingerprint come from the SAME warm-up
+        # aggregate (no extra job); the fingerprint is stamped into
+        # every checkpoint manifest so resume rejects state written for
+        # a different edge set (round-2 ADVICE).
+        erow = self.enorm.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst", "w_norm")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        self.E = int(erow["n"])
+        self.fingerprint = (
+            self.E * 0x9E3779B97F4A7C15 ^ int(erow["h"])
+        ) & 0x7FFFFFFFFFFFFFFF
 
     # ---- one superstep ----------------------------------------------
     def _messages(self, state: DataFrame) -> DataFrame:
@@ -228,7 +239,11 @@ class PageRank:
         """
         import tempfile
 
-        ckpt = CheckpointManager(ckpt_dir or tempfile.mkdtemp(prefix="pr_ckpt_"), "pagerank")
+        ckpt = CheckpointManager(
+            ckpt_dir or tempfile.mkdtemp(prefix="pr_ckpt_"),
+            "pagerank",
+            fingerprint=self.fingerprint,
+        )
         V, D = self.V, self.D
         if V == 0:
             return self.spark.createDataFrame([], "vid long, rank double")

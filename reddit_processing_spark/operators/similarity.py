@@ -115,8 +115,13 @@ def lsh_bucket_table(
     float64 cumsum over the vector axis — so bucket ids are identical
     even at sign knife-edges, while the per-row cost drops from
     n_tables*n_planes interpreted lambda folds to three NumPy passes
-    per batch. Null/ragged vectors are excluded (no bucket ⇒ never a
-    candidate), matching the Column version's null-propagation.
+    per batch. Null vectors, ragged vectors, AND vectors containing
+    null ELEMENTS are all excluded (no bucket ⇒ never a candidate),
+    matching the Column version's null-propagation: ``lsh_bucket``
+    yields a NULL bucket for a null element (null dot product), while
+    the Arrow bridge would silently turn the element into NaN and give
+    the row a definite bucket (round-2 ADVICE) — so such rows are
+    filtered before the kernel.
     """
     planes = np.stack([_hyperplanes(dim, n_planes, t) for t in range(n_tables)])
     pw = (2 ** np.arange(n_planes - 1, -1, -1)).astype(np.int64)  # plane 0 = MSB
@@ -166,7 +171,10 @@ def lsh_bucket_table(
 
     src = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
-    ).filter(F.col("vec").isNotNull())
+    ).filter(
+        F.col("vec").isNotNull()
+        & ~F.exists(F.col("vec"), lambda x: x.isNull())
+    )
     return src.mapInArrow(kernel, "id long, tbl int, bkt long")
 
 

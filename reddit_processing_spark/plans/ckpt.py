@@ -32,11 +32,33 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def graph_fingerprint(edges: DataFrame, cols: tuple[str, ...] = ("src", "dst")) -> int:
+    """Order-insensitive fingerprint of an edge set: row count mixed
+    with bit_xor(xxhash64(cols)) — one scalar aggregate, no shuffle of
+    payload. Distinct edge rows make xor cancellation collisions
+    moot for practical purposes; equal fingerprints at resume time are
+    required, not proof of equality (the checkpoint state itself is
+    still row-count-validated)."""
+    from pyspark.sql import functions as F
+
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64(*cols)), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return (int(row["n"]) * 0x9E3779B97F4A7C15 ^ int(row["h"])) & 0x7FFFFFFFFFFFFFFF
+
+
 class CheckpointManager:
-    def __init__(self, base: str, algo: str):
+    def __init__(self, base: str, algo: str, fingerprint: int | None = None):
         self.base = base
         self.algo = algo
         self.dir = os.path.join(base, algo)
+        # input-graph fingerprint (count⊕hash of the edge set): stamped
+        # into every manifest; resume REJECTS a checkpoint whose
+        # fingerprint differs — a stale dir from a different edge set
+        # would otherwise pass the schema-only gate and silently
+        # converge to wrong results (round-2 ADVICE).
+        self.fingerprint = fingerprint
         os.makedirs(self.dir, exist_ok=True)
 
     # ---- paths -----------------------------------------------------
@@ -86,6 +108,8 @@ class CheckpointManager:
             "wall_ms": wall_ms,
             "metrics": metrics or {},
         }
+        if self.fingerprint is not None:
+            manifest["fingerprint"] = int(self.fingerprint)
         tmp = self.manifest_path(step) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -107,10 +131,27 @@ class CheckpointManager:
 
     def latest_valid_step(self) -> int | None:
         """Highest superstep whose _SUCCESS + manifest + footer row
-        counts agree; None when no valid checkpoint exists."""
+        counts agree (and, when both sides carry one, whose input-graph
+        fingerprint matches); None when no valid checkpoint exists."""
         import pyarrow.parquet as pq
 
         for m in reversed(self.manifests()):
+            mfp = m.get("fingerprint")
+            if (
+                self.fingerprint is not None
+                and mfp is not None
+                and int(mfp) != int(self.fingerprint)
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"{self.algo}: checkpoint at step {m['superstep']} was "
+                    f"written for a DIFFERENT input graph (fingerprint "
+                    f"{mfp} != {self.fingerprint}); ignoring this "
+                    "checkpoint directory and restarting from superstep 0",
+                    stacklevel=2,
+                )
+                return None
             path = m["snapshot"]
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 continue

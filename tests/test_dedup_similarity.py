@@ -247,3 +247,30 @@ def test_minhash_lsh_arrow_impl_finds_planted(spark, docs):
     for a, b, j in pairs.itertuples(index=False):
         sa, sb = sh(pdf[a]), sh(pdf[b])
         assert abs(len(sa & sb) / len(sa | sb) - j) < 1e-9
+
+
+def test_lsh_bucket_table_excludes_null_elements(spark, emb):
+    """A vector containing a null ELEMENT gets no bucket in either
+    path (round-2 ADVICE): the Column reference yields a NULL bucket
+    (null dot product), and the Arrow kernel must not give the row a
+    definite bucket by silently NaN-ing the element."""
+    from reddit_processing_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket,
+        lsh_bucket_table,
+    )
+
+    dim = 64
+    bad_vec = [0.5] * dim
+    bad_vec[7] = None
+    bad = spark.createDataFrame(
+        [(777777, bad_vec)], "vec_id long, embedding array<float>"
+    )
+    df = emb.select("vec_id", "embedding").unionByName(bad)
+    got = lsh_bucket_table(df, "vec_id", "embedding", 4, 2, dim).toPandas()
+    assert (got["id"] == 777777).sum() == 0          # excluded from candidates
+    assert (got["id"] != 777777).sum() > 0           # others still bucketed
+    ref = bad.select(
+        lsh_bucket(F.col("embedding"), _hyperplanes(dim, 4, 0)).alias("bkt")
+    ).collect()[0]["bkt"]
+    assert ref is None                               # Column oracle agrees: no bucket

@@ -274,3 +274,82 @@ def test_cc_star_matches_hash_min_and_networkx(spark, agg_edges, nx_graph, tmp_p
     assert got == {r.vid: r.comp for r in hm.collect()}
     for comp_set in nx.connected_components(nx_graph):
         assert {got[v] for v in comp_set} == {min(comp_set)}
+
+
+def test_cc_rejects_foreign_graph_checkpoint(spark, agg_edges, tmp_path):
+    """A checkpoint directory written for a DIFFERENT edge set is
+    rejected by the manifest graph-fingerprint (round-2 ADVICE): the
+    run warns, restarts from superstep 0, and produces the correct
+    components for the CURRENT graph — no silent frontier corruption."""
+    import warnings
+
+    ckpt_dir = str(tmp_path / "cc_foreign")
+    # graph A: a shifted copy of the edge set (disjoint vid space)
+    edges_a = agg_edges.select(
+        (F.col("src") + 10_000_000).alias("src"),
+        (F.col("dst") + 10_000_000).alias("dst"),
+        "w",
+    )
+    connected_components(spark, edges_a, ckpt_dir=ckpt_dir, num_partitions=8)
+    # graph B (the real one) resuming A's directory must NOT reuse it
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        comps = connected_components(
+            spark, agg_edges, ckpt_dir=str(tmp_path / "cc_foreign2"), num_partitions=8
+        )
+        got_fresh = {r.vid: r.comp for r in comps.collect()}
+        comps2 = connected_components(
+            spark, agg_edges, ckpt_dir=ckpt_dir, num_partitions=8, resume=True
+        )
+        got_resumed = {r.vid: r.comp for r in comps2.collect()}
+    assert any("DIFFERENT input graph" in str(x.message) for x in w)
+    assert got_resumed == got_fresh
+
+
+def test_cc_star_warns_when_rounds_exhausted(spark, agg_edges, tmp_path):
+    """Exhausting max_rounds before the edge signature stabilizes must
+    WARN (the returned labels are local minima, not component minima —
+    round-2 ADVICE), instead of silently returning plausible labels."""
+    import warnings
+
+    from reddit_processing_spark.graph.components import connected_components_star
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components_star(
+            spark, agg_edges, max_rounds=1,
+            ckpt_dir=str(tmp_path / "ccstar_short"), num_partitions=8,
+        ).count()
+    assert any("did not" in str(x.message) and "stabilize" in str(x.message) for x in w)
+
+
+def test_pagerank_resume_rejects_foreign_graph(spark, agg_edges, tmp_path):
+    """PageRank manifests carry the edge-set fingerprint; resuming a
+    directory from a different graph restarts at superstep 0 with a
+    warning and still matches a fresh run exactly."""
+    import warnings
+
+    ckpt_dir = str(tmp_path / "pr_foreign")
+    edges_a = agg_edges.select(
+        (F.col("src") + 10_000_000).alias("src"),
+        (F.col("dst") + 10_000_000).alias("dst"),
+        "w",
+    )
+    pr_a = PageRank(spark, edges_a, num_partitions=8, kernel="sql")
+    try:
+        pr_a.run(d=0.85, tol=1e-4, max_iter=3, ckpt_dir=ckpt_dir)
+    finally:
+        pr_a.unpersist()
+    pr = PageRank(spark, agg_edges, num_partitions=8, kernel="sql")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ranks = pr.run(d=0.85, tol=1e-6, max_iter=50, ckpt_dir=ckpt_dir)
+            got = {r.vid: r.rank for r in ranks.collect()}
+        fresh = pr.run(d=0.85, tol=1e-6, max_iter=50, ckpt_dir=str(tmp_path / "pr_fresh"))
+        want = {r.vid: r.rank for r in fresh.collect()}
+    finally:
+        pr.unpersist()
+    assert any("DIFFERENT input graph" in str(x.message) for x in w)
+    assert got.keys() == want.keys()
+    assert max(abs(got[v] - want[v]) for v in want) == 0.0
