@@ -1201,18 +1201,29 @@ ORDER BY p.event_id
 
 
 def _range_quantity_buckets(spark, sf):
+    """LEFT range join (explicit semantics, round-2 ADVICE): an
+    out-of-bucket fractional fact (qty 10.25 falls between bucket 0's
+    hi=10 and bucket 1's lo=11) is PLANTED so the unmatched branch is
+    actually exercised — it must surface as bucket_id = -1, and the
+    DuckDB oracle performs the same LEFT join over the same planted
+    row."""
     from reddit_processing_spark.operators.temporal import range_join_buckets
 
     li = _t(spark, sf, "lineitem")
+    facts = li.select(
+        "l_orderkey", F.col("l_linenumber").cast("int").alias("l_linenumber"), "l_quantity"
+    ).unionByName(
+        spark.createDataFrame(
+            [(-1, -1, 10.25)], "l_orderkey long, l_linenumber int, l_quantity double"
+        )
+    )
     buckets = spark.createDataFrame(
         [(i, float(i * 10 + 1), float((i + 1) * 10)) for i in range(5)],
         "bucket_id long, lo double, hi double",
     )
-    out = range_join_buckets(
-        li.select("l_orderkey", "l_linenumber", "l_quantity"), buckets, "l_quantity"
-    )
+    out = range_join_buckets(facts, buckets, "l_quantity", how="left")
     return (
-        out.groupBy("bucket_id")
+        out.groupBy(F.coalesce("bucket_id", F.lit(-1)).alias("bucket_id"))
         .agg(
             F.count("*").alias("n_items"),
             F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sum_qty"),
@@ -1224,11 +1235,14 @@ def _range_quantity_buckets(spark, sf):
 _RANGEJ_SQL = """
 WITH buckets(bucket_id, lo, hi) AS (
   VALUES (0, 1.0, 10.0), (1, 11.0, 20.0), (2, 21.0, 30.0),
-         (3, 31.0, 40.0), (4, 41.0, 50.0))
-SELECT CAST(bucket_id AS BIGINT) AS bucket_id, count(*) AS n_items,
+         (3, 31.0, 40.0), (4, 41.0, 50.0)),
+facts AS (
+  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+  UNION ALL SELECT -1, -1, 10.25)
+SELECT CAST(coalesce(bucket_id, -1) AS BIGINT) AS bucket_id, count(*) AS n_items,
        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
-FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity <= hi
-GROUP BY bucket_id ORDER BY bucket_id
+FROM facts LEFT JOIN buckets ON l_quantity >= lo AND l_quantity <= hi
+GROUP BY 1 ORDER BY bucket_id
 """
 
 

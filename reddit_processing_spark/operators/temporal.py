@@ -110,14 +110,23 @@ def range_join_buckets(
     value_col: str,
     lo_col: str = "lo",
     hi_col: str = "hi",
+    how: str = "left",
 ) -> DataFrame:
     """Non-equi range join: fact rows matched to the bucket whose
     ``[lo, hi]`` interval contains ``value_col``.
+
+    Join semantics are EXPLICIT (round-2 ADVICE closed): ``how='left'``
+    (default) keeps facts that land in no bucket, with NULL bucket
+    columns — callers bucketing a measure must decide what an
+    out-of-range fact means, not have it silently vanish;
+    ``how='inner'`` drops them.
 
     The bucket table is small by construction (it defines a banding),
     so it is BROADCAST — the non-equi predicate then evaluates as a
     broadcast nested-loop join with no shuffle of the fact side, the
     only scalable plan for an interval predicate in Spark.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"range_join_buckets: how must be 'left' or 'inner', got {how!r}")
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col))
-    return facts.join(F.broadcast(buckets), cond, "left")
+    return facts.join(F.broadcast(buckets), cond, how)

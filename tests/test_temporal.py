@@ -146,3 +146,24 @@ def test_asof_value_col_conflict_raises(spark, frames):
     r2 = right.withColumnRenamed("val", "event_id")
     with pytest.raises(ValueError, match="collide with left columns"):
         asof_join(left, r2, on="k", left_ts="ts", right_ts="rts", value_cols=["event_id"])
+
+
+def test_range_join_explicit_semantics(spark):
+    """how='left' keeps out-of-bucket facts with NULL bucket columns;
+    how='inner' drops them; anything else raises (round-2 ADVICE)."""
+    import pytest
+
+    from reddit_processing_spark.operators.temporal import range_join_buckets
+
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.25), (3, 45.0)], "fid long, v double"
+    )
+    buckets = spark.createDataFrame(
+        [(0, 1.0, 10.0), (4, 41.0, 50.0)], "bucket_id long, lo double, hi double"
+    )
+    left = range_join_buckets(facts, buckets, "v", how="left").toPandas()
+    inner = range_join_buckets(facts, buckets, "v", how="inner").toPandas()
+    assert len(left) == 3 and left.loc[left.fid == 2, "bucket_id"].isna().all()
+    assert len(inner) == 2 and set(inner.fid) == {1, 3}
+    with pytest.raises(ValueError):
+        range_join_buckets(facts, buckets, "v", how="full")
