@@ -50,24 +50,47 @@ def streaming_edges_foreach_batch(
     transcripts_stream: DataFrame, sink_path: str, checkpoint: str, n_users: int = 64
 ):
     """Micro-batch edge derivation: every trigger runs the BATCH
-    ``derive_edges`` on the new rows and appends to the edge sink —
-    exactly-once via the streaming checkpoint + idempotent dedup key.
-    (``n_users`` must be pinned for a stream — the batch default
-    derives it from the data, which would drift across batches.)
+    ``derive_edges`` on the new rows and writes to the edge sink.
+
+    Idempotent under foreachBatch's at-least-once replay (round-2
+    VERDICT #2): the sink is partitioned by ``epoch`` and written with
+    mode=overwrite + dynamic partition overwrite, so a batch retried
+    after a partial write REPLACES its own epoch partition instead of
+    appending the same edges twice — foreachBatch guarantees a stable
+    ``epoch_id`` per source offset range, which makes replay
+    epoch-exact. (``n_users`` must be pinned for a stream — the batch
+    default derives it from the data, which would drift across
+    batches.)
     """
+    return (
+        transcripts_stream.writeStream.foreachBatch(
+            make_edge_batch_processor(sink_path, n_users)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def make_edge_batch_processor(sink_path: str, n_users: int = 64):
+    """The foreachBatch body of :func:`streaming_edges_foreach_batch`,
+    exposed so the replay-idempotence contract is directly testable:
+    calling the processor twice with the SAME epoch_id (a foreachBatch
+    retry) must leave exactly one copy of that epoch's edges."""
     from ..operators.extract import derive_edges
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         edges, _ = derive_edges(batch_df, n_users=n_users)
-        edges.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(sink_path)
+        (
+            edges.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(sink_path)
+        )
 
-    return (
-        transcripts_stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-    )
+    return process
 
 
 def conversation_state_tracker(

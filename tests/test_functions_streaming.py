@@ -210,3 +210,33 @@ def test_streaming_session_counts_match_batch_sessionization(spark, tiny_dir, tm
     assert len(full) > 0
     for conv in full.index:
         assert full.loc[conv, "n_sessions"] == batch.loc[conv, "n_sessions"], conv
+
+
+def test_streaming_edges_replay_idempotent(spark, tiny_dir, tmp_path):
+    """foreachBatch is at-least-once: a batch retried after a partial
+    write must REPLACE its epoch partition, not append a second copy
+    (round-2 VERDICT #2). The processor is invoked twice with the same
+    epoch_id — that epoch's edge multiset must be single-copy; a later
+    epoch must coexist untouched."""
+    from reddit_processing_spark.streaming.incremental import make_edge_batch_processor
+
+    sink = str(tmp_path / "edges_idem")
+    src = spark.read.parquet(tiny_dir)
+    half = src.filter(F.col("turn_idx") % 2 == 0)
+    rest = src.filter(F.col("turn_idx") % 2 == 1)
+    process = make_edge_batch_processor(sink, n_users=66)
+
+    process(half, 0)
+    epoch0_once = sorted(
+        tuple(r) for r in spark.read.parquet(sink).filter(F.col("epoch") == 0)
+        .select("src", "dst", "kind", "conv_id", "w").collect()
+    )
+    process(half, 0)  # injected retry of the SAME epoch
+    process(rest, 1)  # a subsequent epoch
+    back = spark.read.parquet(sink)
+    epoch0_after = sorted(
+        tuple(r) for r in back.filter(F.col("epoch") == 0)
+        .select("src", "dst", "kind", "conv_id", "w").collect()
+    )
+    assert epoch0_after == epoch0_once  # exact multiset: replay replaced, not appended
+    assert back.filter(F.col("epoch") == 1).count() > 0
