@@ -19,6 +19,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def f32_horner(coeffs: Sequence[float]):
@@ -44,6 +45,40 @@ def f32_horner(coeffs: Sequence[float]):
         return pd.Series(out).where(~x.isna(), None)
 
     return _eval
+
+
+# returnType as a DataType instance (not a DDL string): DDL parsing
+# would require an active SparkSession at module-import time.
+@pandas_udf(DoubleType())
+def mad(v: pd.Series) -> float:
+    """Grouped-agg pandas UDF (SURVEY.md §2.9 F4): exact median
+    absolute deviation, ``median(|x - median(x)|)`` per group.
+
+    Why a grouped-agg UDF and not built-ins: the inner ``median(x)``
+    must be known before the deviation column exists, so no single
+    built-in aggregate expression can compute MAD — the relational
+    rewrite is a groupBy + self-join back to the rows (two shuffles of
+    the fact table). The grouped-agg UDF does it in ONE grouped pass:
+    each group's values arrive as one Arrow batch and reduce to one
+    scalar, NumPy-vectorized (no per-row Python).
+
+    Exactness: medians linearly interpolate at even counts (pandas
+    ``Series.median`` ≡ DuckDB ``quantile_cont 0.5`` ≡ DuckDB
+    ``mad()``), so on integer-valued inputs the result is exact
+    (integers and .5 halves are exactly representable) — which is what
+    makes the driver entry hash-checkable against DuckDB.
+
+    Scale contract (the documented F4 trade-off): a grouped-agg UDF
+    materializes each GROUP in executor memory (medians are holistic —
+    that's inherent to the semantics, not the implementation). Use for
+    bounded-cardinality groups; for approximate percentile-style
+    rollups over unbounded groups use ``F.percentile_approx``.
+    NULLs are dropped (SQL aggregate semantics); an all-NULL/empty
+    group yields NULL."""
+    x = v.dropna()
+    if len(x) == 0:
+        return None
+    return float((x - x.median()).abs().median())
 
 
 def f32_logistic(a: float = 1.0, b: float = 0.0):

@@ -89,3 +89,35 @@ def test_f32_logistic_bounds_and_oracle(spark, values):
     z = (np.float32(0.8) * v).astype(np.float32) + np.float32(-0.1)
     want = (np.float32(1.0) / (np.float32(1.0) + np.exp(-z, dtype=np.float32))).astype(np.float64)
     assert np.array_equal(np.sort(clean.to_numpy()), np.sort(want))
+
+
+def test_grouped_agg_mad_matches_pandas_and_duckdb(spark):
+    """F4 grouped-agg pandas UDF: exact MAD per group vs the pandas
+    oracle AND DuckDB's built-in mad() — including an even-count group
+    (interpolated median), a NULL, and an all-NULL group."""
+    import duckdb
+
+    from reddit_processing_spark.functions.vectorized import mad
+
+    rows = [
+        ("a", 1.0), ("a", 3.0), ("a", 7.0), ("a", 100.0),  # even count
+        ("b", 5.0), ("b", None), ("b", 9.0), ("b", 2.0),   # null dropped
+        ("c", None), ("c", None),                          # all-null -> NULL
+    ]
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = {
+        r.k: r.m
+        for r in df.groupBy("k").agg(mad("x").alias("m")).collect()
+    }
+    pdf = df.toPandas()
+    for k, grp in pdf.groupby("k"):
+        x = grp["x"].dropna()
+        want = None if len(x) == 0 else float((x - x.median()).abs().median())
+        assert got[k] == want, k
+    duck = {
+        k: m
+        for k, m in duckdb.sql(
+            "SELECT k, mad(x) FROM pdf GROUP BY k"
+        ).fetchall()
+    }
+    assert got == duck
