@@ -240,3 +240,58 @@ def test_streaming_edges_replay_idempotent(spark, tiny_dir, tmp_path):
     )
     assert epoch0_after == epoch0_once  # exact multiset: replay replaced, not appended
     assert back.filter(F.col("epoch") == 1).count() > 0
+
+
+def test_multimodal_real_codecs_roundtrip():
+    """BMP and WAV codecs round-trip bit-exactly (pure NumPy, no
+    media libs) — the decode side of the real multimodal path."""
+    import numpy as np
+
+    from reddit_processing_spark.functions.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd width → row padding
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    s = rng.integers(-30000, 30000, size=1234).astype(np.int16)
+    back, rate = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000 and (back == s).all()
+
+
+def test_multimodal_real_decode_features(spark):
+    """numpy_decode through the Spark mapInPandas plumbing yields the
+    statistics NumPy computes directly on the decoded payloads."""
+    import numpy as np
+
+    from reddit_processing_spark.functions.multimodal import (
+        decode_bmp,
+        decode_wav,
+        extract_features,
+        numpy_decode,
+        synthetic_media_real,
+    )
+
+    m = synthetic_media_real(spark, 12)
+    got = {
+        r.media_id: (r.kind, np.array(r.feature))
+        for r in extract_features(m, decoder=numpy_decode).collect()
+    }
+    for row in m.collect():
+        kind, feat = got[row.media_id]
+        assert kind == row.kind
+        if kind == "image":
+            img = decode_bmp(bytes(row.payload)).astype(np.float64)
+            assert abs(feat[0] - img[..., 0].mean()) < 1e-3
+            assert feat[4] == img.shape[0] and feat[5] == img.shape[1]
+        elif kind == "audio":
+            s, rate = decode_wav(bytes(row.payload))
+            x = s.astype(np.float64) / 32768.0
+            assert abs(feat[2] - np.sqrt((x * x).mean())) < 1e-5  # RMS
+            assert feat[5] == np.float32(rate / 1000.0)
+        else:
+            assert feat[0] == 3.0  # three frames
+            assert feat[7] == np.float32(6 * 8 / 1000.0)
