@@ -37,16 +37,17 @@ CHECKS = {
     "topk_global_lineitems": [
         ("TakeOrderedAndProject", "global top-k avoids a full sort"),
     ],
-    "embed_near_dup_lsh": [
-        ("MapInArrow", "LSH bucketing is ONE Arrow kernel pass, not n_tables*n_planes inlined literal dot products"),
+    "ann_lsh_suite": [
+        ("MapInArrow", "LSH bucketing (top-k + near-dup legs) is ONE Arrow kernel pass, not n_tables*n_planes inlined literal dot products"),
+        ("BroadcastHashJoin", "top-k bucket probe broadcasts the (small) query side"),
     ],
-    "ann_lsh_topk": [
-        ("MapInArrow", "query+base bucketing via the Arrow kernel"),
-        ("BroadcastHashJoin", "bucket probe broadcasts the (small) query side"),
-    ],
-    "scan_csv_roundtrip": [
+    "scan_text_roundtrip": [
         ("Scan csv", "text scan through the CSV datasource with explicit schema"),
+        ("Scan json", "NDJSON leg scans through the JSON datasource"),
         ("ReadSchema:", "schema carried into the scan, never inferred"),
+    ],
+    "grouped_agg_mad": [
+        ("AggregateInPandas", "F4 grouped-agg pandas UDF runs as one Arrow-batched grouped pass"),
     ],
     "map_metrics_blob": [
         ("ObjectHashAggregate", "map_from_arrays built via object hash agg (collect_list), not sort-based fallback"),
