@@ -47,7 +47,8 @@ CHECKS = {
         ("ReadSchema:", "schema carried into the scan, never inferred"),
     ],
     "grouped_agg_mad": [
-        ("AggregateInPandas", "F4 grouped-agg pandas UDF runs as one Arrow-batched grouped pass"),
+        # Spark 4.x physical node name for a group-aggregate pandas UDF
+        ("ArrowAggregatePython", "F4 grouped-agg pandas UDF runs as one Arrow-batched grouped pass"),
     ],
     "map_metrics_blob": [
         ("ObjectHashAggregate", "map_from_arrays built via object hash agg (collect_list), not sort-based fallback"),
