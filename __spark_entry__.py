@@ -1016,6 +1016,21 @@ def _ann_lsh(spark, sf):
     ).orderBy("query_id", "rk")
 
 
+def _ann_ivf(spark, sf):
+    """IVF (inverted-file) ANN — the learned coarse-quantizer scale
+    path next to sign-LSH (operators/ivf.py): spherical k-means cells,
+    per-query nprobe probing, exact cosine re-rank. Rows-only here;
+    recall and the full-probe≡exact identity are proven in
+    tests/test_ivf.py."""
+    from reddit_processing_spark.operators.ivf import cosine_topk_ivf
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return cosine_topk_ivf(e, q, k=5, n_cells=8, nprobe=4, dim=64).select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim"), "rk"
+    ).orderBy("query_id", "rk")
+
+
 def _agg_grouping_sets(spark, sf):
     """GROUPING SETS via the SQL surface (SURVEY.md §2.4 A8) — per-flag
     and per-status marginals plus the grand total in one pass."""
@@ -1950,10 +1965,11 @@ def _dedup_sketch_pairs(spark, sf):
 
 
 def _ann_lsh_suite(spark, sf):
-    """N2+D5 LSH family in one entry: approximate cosine top-k
-    (family='topk', per-query neighbors) and LSH-blocked embedding
-    near-dup pairs (family='near_dup'); recall vs the exact baselines
-    is measured in tests."""
+    """N2+D5+N3 ANN family in one entry: LSH approximate cosine top-k
+    (family='topk'), LSH-blocked embedding near-dup pairs
+    (family='near_dup'), and IVF coarse-quantizer top-k
+    (family='ivf_topk'); recall vs the exact baselines is measured in
+    tests (test_dedup_similarity.py, test_ivf.py)."""
     topk = _ann_lsh(spark, sf).select(
         F.lit("topk").alias("family"),
         F.col("query_id").alias("id_a"),
@@ -1964,7 +1980,15 @@ def _ann_lsh_suite(spark, sf):
         F.lit("near_dup").alias("family"), "id_a", "id_b",
         F.col("sim").alias("score"),
     )
-    return topk.unionByName(nd).orderBy("family", "id_a", "id_b")
+    ivf = _ann_ivf(spark, sf).select(
+        F.lit("ivf_topk").alias("family"),
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("sim").alias("score"),
+    )
+    return topk.unionByName(nd).unionByName(ivf).orderBy(
+        "family", "id_a", "id_b"
+    )
 
 
 def _stream_window_counts_both(spark, sf):

@@ -78,6 +78,7 @@ def main() -> None:
         "tri_part_cooccurrence": entrymod._tri_cooccurrence,
         "embed_near_dup_lsh": entrymod._embed_near_dup_lsh,
         "ann_lsh_topk": entrymod._ann_lsh,
+        "ann_ivf_topk": entrymod._ann_ivf,
         "scan_csv_roundtrip": entrymod._scan_csv_roundtrip,
         "merge_flat_ordering": entrymod._merge_flat_ordering,
         "grouped_agg_mad": entrymod._grouped_agg_mad,

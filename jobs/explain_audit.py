@@ -38,8 +38,8 @@ CHECKS = {
         ("TakeOrderedAndProject", "global top-k avoids a full sort"),
     ],
     "ann_lsh_suite": [
-        ("MapInArrow", "LSH bucketing (top-k + near-dup legs) is ONE Arrow kernel pass, not n_tables*n_planes inlined literal dot products"),
-        ("BroadcastHashJoin", "top-k bucket probe broadcasts the (small) query side"),
+        ("MapInArrow", "LSH bucketing + IVF assignment (all three legs) are Arrow kernel passes, not inlined literal dot products"),
+        ("BroadcastHashJoin", "bucket/cell probes broadcast the (small) query side"),
     ],
     "scan_text_roundtrip": [
         ("Scan csv", "text scan through the CSV datasource with explicit schema"),
