@@ -1828,18 +1828,131 @@ ORDER BY ws.doc_id
 
 
 def _docs_quality_merged(spark, sf):
-    """T2 quality scoring with its stopword-ratio ingredient exposed
-    on the same row (formerly two standalone hash-green entries)."""
+    """T2+T3 text scoring in one entry: quality score, its
+    stopword-ratio ingredient, and the stopword-voting language ID on
+    the same row (formerly three standalone hash-green entries)."""
     stop = _docs_stopwords(spark, sf)
     qual = _docs_quality(spark, sf)
-    return stop.join(qual, "doc_id").orderBy("doc_id")
+    lang = _docs_lang_id(spark, sf)
+    return stop.join(qual, "doc_id").join(lang, "doc_id").orderBy("doc_id")
 
 
 _DOCSQUAL_MERGED_SQL = f"""
-SELECT s.doc_id, s.en_stopword_hits, s.stopword_ratio, q.quality
+SELECT s.doc_id, s.en_stopword_hits, s.stopword_ratio, q.quality, l.lang_pred
 FROM ({_DOCSSTOP_SQL.replace("ORDER BY doc_id", "")}) s
 JOIN ({_QUALITY_SQL.replace("ORDER BY doc_id", "")}) q USING (doc_id)
+JOIN ({_LANGID_SQL.replace("ORDER BY doc_id", "")}) l USING (doc_id)
 ORDER BY s.doc_id
+"""
+
+
+def _sample_splits(spark, sf):
+    """Deterministic sampling suite (operators/sampling.py) — ONE
+    hash-green entry covering all three selection operators, run with
+    the PORTABLE hash so DuckDB verifies the actual membership
+    decisions, not just summary shapes:
+
+    - hash_split: train/val/test 80/10/10 over orders (disjoint +
+      exhaustive by construction);
+    - stratified_sample: per-segment mixing rates over customer;
+    - uniform_sample_n: exactly-100 draw over orders
+      (TakeOrderedAndProject, no global sort).
+
+    Each leg reports (n_rows, key_sum, key_min, key_max) — key_sum is
+    an order-insensitive exact fingerprint of the selected key SET, so
+    a single membership flip anywhere hash-fails the entry."""
+    from reddit_processing_spark.operators.sampling import (
+        hash_split,
+        portable_hash01,
+        stratified_sample,
+        uniform_sample_n,
+    )
+
+    o = _t(spark, sf, "orders")
+    sp = hash_split(
+        o, "o_orderkey", {"train": 0.8, "val": 0.1, "test": 0.1},
+        hash_fn=portable_hash01(42),
+    )
+    leg1 = sp.groupBy(F.col("split").alias("leg")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.min("o_orderkey").cast("long").alias("key_min"),
+        F.max("o_orderkey").cast("long").alias("key_max"),
+    )
+    c = _t(spark, sf, "customer")
+    st = stratified_sample(
+        c, "c_mktsegment", {"BUILDING": 0.5, "AUTOMOBILE": 0.25},
+        "c_custkey", default_rate=0.1, hash_fn=portable_hash01(7),
+    )
+    leg2 = st.groupBy(
+        F.concat(F.lit("strat_"), F.col("c_mktsegment")).alias("leg")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.min("c_custkey").cast("long").alias("key_min"),
+        F.max("c_custkey").cast("long").alias("key_max"),
+    )
+    leg3 = (
+        uniform_sample_n(o, "o_orderkey", 100, hash_fn=portable_hash01(5))
+        .groupBy(F.lit("sample_n_100").alias("leg"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.min("o_orderkey").cast("long").alias("key_min"),
+            F.max("o_orderkey").cast("long").alias("key_max"),
+        )
+    )
+    return leg1.unionByName(leg2).unionByName(leg3).orderBy("leg")
+
+
+_SAMPLE_SQL = """
+WITH ho AS (
+  SELECT o_orderkey,
+         ((o_orderkey * 2654435761 + 42) % 4294967296) / 4294967296.0 AS u
+  FROM orders),
+sp AS (
+  SELECT o_orderkey,
+         CASE WHEN u < 0.8 THEN 'train'
+              WHEN u < 0.9 THEN 'val'
+              ELSE 'test' END AS leg
+  FROM ho),
+leg1 AS (
+  SELECT leg, count(*) AS n_rows,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         CAST(min(o_orderkey) AS BIGINT) AS key_min,
+         CAST(max(o_orderkey) AS BIGINT) AS key_max
+  FROM sp GROUP BY leg),
+hc AS (
+  SELECT c_custkey, c_mktsegment,
+         ((c_custkey * 2654435761 + 7) % 4294967296) / 4294967296.0 AS u
+  FROM customer),
+st AS (
+  SELECT * FROM hc
+  WHERE u < CASE c_mktsegment WHEN 'BUILDING' THEN 0.5
+                              WHEN 'AUTOMOBILE' THEN 0.25
+                              ELSE 0.1 END),
+leg2 AS (
+  SELECT 'strat_' || c_mktsegment AS leg, count(*) AS n_rows,
+         CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+         CAST(min(c_custkey) AS BIGINT) AS key_min,
+         CAST(max(c_custkey) AS BIGINT) AS key_max
+  FROM st GROUP BY c_mktsegment),
+n100 AS (
+  SELECT o_orderkey FROM (
+    SELECT o_orderkey,
+           ((o_orderkey * 2654435761 + 5) % 4294967296) / 4294967296.0 AS u
+    FROM orders)
+  ORDER BY u, o_orderkey LIMIT 100),
+leg3 AS (
+  SELECT 'sample_n_100' AS leg, count(*) AS n_rows,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         CAST(min(o_orderkey) AS BIGINT) AS key_min,
+         CAST(max(o_orderkey) AS BIGINT) AS key_max
+  FROM n100)
+SELECT * FROM leg1
+UNION ALL SELECT * FROM leg2
+UNION ALL SELECT * FROM leg3
+ORDER BY leg
 """
 
 
@@ -2059,7 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": _docs_exact_dedup_merged,
         "docs_token_stats": _docs_token_stats_merged,
         "docs_quality_score": _docs_quality_merged,
-        "docs_lang_id": _docs_lang_id,
+        "sample_splits": _sample_splits,
         "ngram_jaccard_pairs": _ngram_jaccard,
         # ---- embeddings: similarity ----
         "sim_topk_cosine": _sim_topk,
@@ -2114,7 +2227,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": _DOCSDEDUP_MERGED_SQL,
         "docs_token_stats": _DOCSTOK_MERGED_SQL,
         "docs_quality_score": _DOCSQUAL_MERGED_SQL,
-        "docs_lang_id": _LANGID_SQL,
+        "sample_splits": _SAMPLE_SQL,
         "ngram_jaccard_pairs": _NGRAM_SQL,
         "sim_topk_cosine": _SIMTOPK_SQL,
         "embed_near_dup_exact": _EMBDUP_SQL,
