@@ -1812,17 +1812,96 @@ SELECT * FROM (
 
 
 def _docs_token_stats_merged(spark, sf):
-    """T1 token counting, both flavors in one per-doc row: whitespace
-    tokens (+ char counts) joined with the BPE-ish regex token count."""
+    """T1+T5 token/corpus statistics in one per-doc row: whitespace
+    tokens (+ char counts), the BPE-ish regex token count, each doc's
+    top TF-IDF term (corpus-smoothed idf, tie-break term asc), and its
+    BM25 score against a fixed probe query (operators/tfidf.py)."""
     ws = _docs_token_stats(spark, sf)
     bpe = _docs_bpe_tokens(spark, sf)
-    return ws.join(bpe, "doc_id").orderBy("doc_id")
+    from reddit_processing_spark.operators.tfidf import bm25_scores, top_terms
 
+    d = _t(spark, sf, "documents")
+    top = (
+        top_terms(d, n=1)
+        .select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            F.round("tfidf", 4).alias("top_tfidf"),
+        )
+    )
+    bm = bm25_scores(d, ["the", "data", "model"]).select(
+        "doc_id", F.round("bm25", 4).alias("bm25_probe")
+    )
+    return (
+        ws.join(bpe, "doc_id")
+        .join(top, "doc_id", "left")
+        .join(bm, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "n_chars", "len_text", "n_bpe",
+            F.coalesce("top_term", F.lit("")).alias("top_term"),
+            F.coalesce("top_tfidf", F.lit(0.0)).alias("top_tfidf"),
+            "bm25_probe",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TFIDF_TOP_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfs.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dfs USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored)
+SELECT doc_id, term AS top_term, round(tfidf, 4) AS top_tfidf
+FROM ranked WHERE rk = 1
+"""
+
+_BM25_SQL = """
+WITH lens AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0.0
+              ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END AS dl
+  FROM documents),
+scal AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+tf_all AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf_all GROUP BY term),
+q AS (SELECT * FROM (VALUES ('the'), ('data'), ('model')) AS t(term)),
+per_term AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (scal.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / scal.avgdl)) AS s
+  FROM tf_all tf
+  JOIN q USING (term)
+  JOIN dfs USING (term)
+  JOIN lens ON lens.doc_id = tf.doc_id
+  CROSS JOIN scal)
+SELECT l.doc_id, round(coalesce(p.bm25, 0.0), 4) AS bm25_probe
+FROM lens l LEFT JOIN (SELECT doc_id, sum(s) AS bm25 FROM per_term GROUP BY doc_id) p
+  ON l.doc_id = p.doc_id
+"""
 
 _DOCSTOK_MERGED_SQL = f"""
-SELECT ws.doc_id, ws.n_tokens, ws.n_chars, ws.len_text, bpe.n_bpe
+SELECT ws.doc_id, ws.n_tokens, ws.n_chars, ws.len_text, bpe.n_bpe,
+       coalesce(tt.top_term, '') AS top_term,
+       coalesce(tt.top_tfidf, 0.0) AS top_tfidf,
+       bm.bm25_probe
 FROM ({_DOCSTOK_SQL.replace("ORDER BY doc_id", "")}) ws
 JOIN ({_BPE_SQL.replace("ORDER BY doc_id", "")}) bpe USING (doc_id)
+LEFT JOIN ({_TFIDF_TOP_SQL}) tt USING (doc_id)
+JOIN ({_BM25_SQL}) bm USING (doc_id)
 ORDER BY ws.doc_id
 """
 

@@ -44,6 +44,31 @@ BENCH_SUPERSTEPS = 5
 REPS = 3
 
 
+def _host_health() -> dict:
+    """Ambient-host probe embedded in every report so numbers are
+    interpretable: on VMs with host-side memory overcommit, FIRST-TOUCH
+    page faults can run at ~0.05 GiB/s (measured on one sandbox boot;
+    healthy boots deliver GiB/s) — any JVM then pays seconds per GiB of
+    heap growth and every wall time below is fault-bound, not
+    engine-bound. fault = fill of freshly mapped pages; copy = second
+    pass over the same (now resident) pages."""
+    import numpy as np
+
+    n = 2**27  # 1 GiB of float64
+    buf = np.empty(n, dtype=np.float64)
+    t0 = time.monotonic()
+    buf.fill(1.0)
+    fault_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    buf.fill(2.0)
+    copy_s = time.monotonic() - t0
+    return {
+        "host_fault_gibps": round(1.0 / max(fault_s, 1e-9), 2),
+        "host_resident_gibps": round(1.0 / max(copy_s, 1e-9), 2),
+        "host_loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+
+
 def _run(spark, sf_dir, q) -> float:
     t0 = time.monotonic()
     q(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -51,6 +76,7 @@ def _run(spark, sf_dir, q) -> float:
 
 
 def main() -> None:
+    health = _host_health()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -193,6 +219,7 @@ def main() -> None:
                 "cc_star_rounds": star_rounds,
                 "cc_delta_supersteps": len(cc_msg_rows),
                 "cc_delta_msg_rows": cc_msg_rows,
+                **health,
             }
         )
     )
