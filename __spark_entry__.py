@@ -1908,19 +1908,71 @@ ORDER BY ws.doc_id
 
 def _docs_quality_merged(spark, sf):
     """T2+T3 text scoring in one entry: quality score, its
-    stopword-ratio ingredient, and the stopword-voting language ID on
-    the same row (formerly three standalone hash-green entries)."""
+    stopword-ratio ingredient, the stopword-voting language ID, and
+    the Gopher/RefinedWeb-style repetition signals (duplicate-line
+    fraction, top-bigram fraction) on the same row."""
+    from reddit_processing_spark.functions.text import (
+        dup_line_fraction,
+        top_bigram_fraction,
+    )
+
     stop = _docs_stopwords(spark, sf)
     qual = _docs_quality(spark, sf)
     lang = _docs_lang_id(spark, sf)
-    return stop.join(qual, "doc_id").join(lang, "doc_id").orderBy("doc_id")
+    rep = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.coalesce(F.round(dup_line_fraction("text"), 4), F.lit(0.0)).alias(
+            "dup_line_frac"
+        ),
+        F.coalesce(F.round(top_bigram_fraction("text"), 4), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+    )
+    return (
+        stop.join(qual, "doc_id")
+        .join(lang, "doc_id")
+        .join(rep, "doc_id")
+        .orderBy("doc_id")
+    )
 
+
+_REPEAT_SQL = """
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> length(x) > 0) AS ls
+  FROM documents),
+dlf AS (
+  SELECT doc_id,
+         CASE WHEN len(ls) = 0 THEN 0.0
+              ELSE round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 4)
+         END AS dup_line_frac
+  FROM lines),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+tbf AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac
+  FROM cnt GROUP BY doc_id)
+SELECT d.doc_id, coalesce(dlf.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(tbf.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM documents d
+JOIN dlf USING (doc_id)
+LEFT JOIN tbf USING (doc_id)
+"""
 
 _DOCSQUAL_MERGED_SQL = f"""
-SELECT s.doc_id, s.en_stopword_hits, s.stopword_ratio, q.quality, l.lang_pred
+SELECT s.doc_id, s.en_stopword_hits, s.stopword_ratio, q.quality, l.lang_pred,
+       r.dup_line_frac, r.top_bigram_frac
 FROM ({_DOCSSTOP_SQL.replace("ORDER BY doc_id", "")}) s
 JOIN ({_QUALITY_SQL.replace("ORDER BY doc_id", "")}) q USING (doc_id)
 JOIN ({_LANGID_SQL.replace("ORDER BY doc_id", "")}) l USING (doc_id)
+JOIN ({_REPEAT_SQL}) r USING (doc_id)
 ORDER BY s.doc_id
 """
 

@@ -101,6 +101,66 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def dup_line_fraction(text: Column | str) -> Column:
+    """Fraction of lines that are duplicates of an earlier line
+    (Gopher/RefinedWeb-style repetition signal): 1 − distinct/total
+    over non-empty trimmed lines; 0.0 for texts with no lines."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size(lines)
+    return (
+        F.when(n <= 0, F.lit(0.0))
+        .otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / n.cast("double")
+        )
+        .cast("double")
+    )
+
+
+def top_bigram_fraction(text: Column | str) -> Column:
+    """Fraction of the document's word bigrams occupied by its single
+    most frequent bigram (boilerplate / template repetition signal);
+    0.0 when fewer than 2 tokens. Pure Column expressions: bigrams via
+    a zip of the token array with its own tail, counts via per-element
+    filter inside one aggregate pass."""
+    toks = F.transform(ws_tokens(text), lambda x: F.lower(x))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    nb = F.size(bigrams)
+    # O(n log n) per doc: sort the bigram array, then one aggregate
+    # pass tracking the longest equal-run (the distinct×filter
+    # alternative is O(distinct·n) per doc — quadratic on long docs).
+    srt = F.array_sort(bigrams)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    top = F.aggregate(
+        srt,
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        F.when(nb <= 0, F.lit(0.0))
+        .otherwise(top / nb.cast("double"))
+        .cast("double")
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """64-bit rolling document fingerprint: xxhash64 of the
     whitespace-normalized, lowercased text."""
