@@ -1,0 +1,149 @@
+"""spark-submit job: the training-data pipeline stages as a CLI —
+dedup, quality scoring, sampling/splitting, and ANN indexing over a
+documents/embeddings parquet directory.
+
+Usage (cluster):
+  spark-submit --py-files dist/engine.zip jobs/run_pipeline.py \
+      --stage dedup    --in <docs.parquet>  --out <dir> [--method minhash]
+      --stage score    --in <docs.parquet>  --out <dir>
+      --stage sample   --in <any.parquet>   --out <dir> --key <col> \
+                       [--splits train=0.9,val=0.05,test=0.05]
+      --stage ann      --in <emb.parquet>   --out <index_dir> \
+                       [--n-cells 256] [--id-col vec_id] [--vec-col embedding]
+
+Each stage prints one JSON line of run metrics. Stages compose by
+chaining --out → --in (dedup's kept set feeds score; score's filtered
+set feeds sample), mirroring how the same operators compose in-process.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_splits(s: str) -> dict[str, float]:
+    out = {}
+    for part in s.split(","):
+        name, frac = part.split("=")
+        out[name.strip()] = float(frac)
+    return out
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", choices=["dedup", "score", "sample", "ann"], required=True)
+    p.add_argument("--in", dest="inp", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--master", default=None)
+    p.add_argument("--partitions", type=int, default=None)
+    # dedup
+    p.add_argument("--method", choices=["exact", "minhash"], default="exact")
+    p.add_argument("--threshold", type=float, default=0.8)
+    # score
+    p.add_argument("--min-quality", type=float, default=None)
+    p.add_argument("--max-dup-line", type=float, default=None)
+    # sample
+    p.add_argument("--key", default="doc_id")
+    p.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
+    p.add_argument("--salt", type=int, default=0)
+    # ann
+    p.add_argument("--n-cells", type=int, default=256)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from reddit_processing_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"pipeline_{args.stage}",
+        master=args.master,
+        shuffle_partitions=args.partitions,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    t0 = time.monotonic()
+    df = spark.read.parquet(args.inp)
+    in_rows = df.count()
+    metrics: dict = {"stage": args.stage, "in_rows": in_rows}
+
+    if args.stage == "dedup":
+        from reddit_processing_spark.operators.dedup import (
+            exact_dedup,
+            minhash_lsh_pairs,
+        )
+
+        kept = exact_dedup(df)
+        if args.method == "minhash":
+            # drop the higher-id member of every verified near-dup pair
+            pairs = minhash_lsh_pairs(kept, threshold=args.threshold)
+            drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+            kept = kept.join(drop, "doc_id", "left_anti")
+        kept.write.mode("overwrite").parquet(args.out)
+        metrics["method"] = args.method
+
+    elif args.stage == "score":
+        from reddit_processing_spark.functions.text import (
+            dup_line_fraction,
+            lang_id,
+            quality_score,
+            token_count,
+            top_bigram_fraction,
+        )
+
+        scored = df.select(
+            "*",
+            token_count("text").alias("n_tokens"),
+            quality_score("text").alias("quality"),
+            lang_id("text").alias("lang_pred"),
+            dup_line_fraction("text").alias("dup_line_frac"),
+            top_bigram_fraction("text").alias("top_bigram_frac"),
+        )
+        if args.min_quality is not None:
+            scored = scored.filter(F.col("quality") >= args.min_quality)
+        if args.max_dup_line is not None:
+            scored = scored.filter(F.col("dup_line_frac") <= args.max_dup_line)
+        scored.write.mode("overwrite").parquet(args.out)
+
+    elif args.stage == "sample":
+        from reddit_processing_spark.operators.sampling import hash_split
+
+        splits = _parse_splits(args.splits)
+        out = hash_split(df, args.key, splits, salt=args.salt)
+        # one directory per split: partition-pruned consumption downstream
+        out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+        metrics["splits"] = splits
+
+    else:  # ann
+        from reddit_processing_spark.operators.ivf import build_ivf_index
+
+        build_ivf_index(
+            df, args.out, n_cells=args.n_cells, dim=args.dim,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        metrics["n_cells"] = args.n_cells
+
+    out_rows = spark.read.parquet(
+        os.path.join(args.out, "cells") if args.stage == "ann" else args.out
+    ).count()
+    metrics.update(
+        {
+            "out_rows": out_rows,
+            "wall_s": round(time.monotonic() - t0, 3),
+            "master": spark.sparkContext.master,
+        }
+    )
+    print(json.dumps(metrics))
+    spark.stop()
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
