@@ -258,12 +258,19 @@ def ngram_jaccard_pairs(
     dominate the join.
     """
     toks = ws_tokens(text_col)
-    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    # Build grams by zipping n shifted slices of the token array rather
+    # than `transform(sequence(...), i -> slice(toks, i, n))`: the
+    # lambda form re-inlines the outer `toks` expression (a split())
+    # at EVERY gram position after Catalyst's projection collapse —
+    # O(len²) tokenization per doc (same trap as the MinHash H-column
+    # form, measured ~20× on this entry). The zip form evaluates the
+    # split exactly n times per row.
+    m = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(acc)
     doc_grams = df.select(
         F.col(id_col).alias("id"), F.array_distinct(grams).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
