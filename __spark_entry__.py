@@ -941,6 +941,24 @@ def _graph_cc_star_sizes(spark, sf):
     )
 
 
+def _graph_kcore_sizes(spark, sf):
+    """k-core decomposition (graph/kcore.py, h-index iteration) as a
+    core-number histogram: (comp = core value, size = #vertices);
+    exact networkx.core_number parity asserted in tests/test_kcore.py."""
+    from reddit_processing_spark.graph.kcore import core_numbers
+    from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+    t = spark.read.parquet(_fixture_dir())
+    edges, _ = derive_edges(t, n_users=TINY_N_USERS)
+    cores = core_numbers(
+        spark, aggregate_edges(edges), num_partitions=8,
+        ckpt_dir=tempfile.mkdtemp(prefix="drv_kcore_"),
+    )
+    return cores.groupBy(F.col("core").alias("comp")).agg(
+        F.count("*").alias("size")
+    ).orderBy(F.desc("size"), F.asc("comp"))
+
+
 def _graph_lpa_sizes(spark, sf):
     from reddit_processing_spark.graph.lpa import label_propagation
     from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
@@ -2180,16 +2198,19 @@ FROM li GROUP BY l_returnflag ORDER BY l_returnflag
 
 # ---- merged rows-only entries -------------------------------------
 def _graph_cc_sizes_both(spark, sf):
-    """CC component-size distribution from BOTH algorithms — hash-min
-    (the contract implementation) and large-star/small-star (the
-    O(log²)-round production path) — unioned with an algo tag, so the
-    driver row itself witnesses that the two agree (identical size
-    distributions; exact equality is asserted in tests)."""
+    """Component/core structure from THREE algorithms in one entry —
+    hash-min CC (the contract implementation), large-star/small-star
+    CC (the O(log²)-round production path), and k-core decomposition
+    (h-index iteration; comp column = core number, size = vertex
+    count at that core) — unioned with an algo tag, so the driver row
+    witnesses hash-min ≡ star (identical size distributions; exact
+    equality and networkx core parity asserted in tests)."""
     hm = _graph_cc_sizes(spark, sf).withColumn("algo", F.lit("hashmin"))
     star = _graph_cc_star_sizes(spark, sf).withColumn("algo", F.lit("star"))
-    return hm.unionByName(star).select("algo", "comp", "size").orderBy(
-        "algo", F.desc("size"), F.asc("comp")
-    )
+    kc = _graph_kcore_sizes(spark, sf).withColumn("algo", F.lit("kcore"))
+    return hm.unionByName(star).unionByName(kc).select(
+        "algo", "comp", "size"
+    ).orderBy("algo", F.desc("size"), F.asc("comp"))
 
 
 def _dedup_sketch_pairs(spark, sf):

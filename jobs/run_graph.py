@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser()
-    p.add_argument("--algo", choices=["cc", "cc_star", "lpa", "triangles"], required=True)
+    p.add_argument(
+        "--algo", choices=["cc", "cc_star", "lpa", "triangles", "kcore"], required=True
+    )
     p.add_argument("--transcripts", required=True)
     p.add_argument("--ckpt", default=None)
     p.add_argument("--out", required=True)
@@ -72,6 +74,14 @@ def main(argv: list[str] | None = None) -> dict:
             num_partitions=args.partitions,
         )
         manifest_algo = "lpa"
+    elif args.algo == "kcore":
+        from reddit_processing_spark.graph.kcore import core_numbers
+
+        out = core_numbers(
+            spark, agg, max_iter=args.max_iter, ckpt_dir=args.ckpt,
+            num_partitions=args.partitions,
+        )
+        manifest_algo = "kcore"
     else:
         out = triangle_count(spark, agg)
         manifest_algo = None

@@ -1,0 +1,99 @@
+"""k-core decomposition: exact parity vs networkx.core_number on the
+transcript fixture graph and a hand-built graph with known cores;
+parallelism invariance; resume equivalence."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_processing_spark.graph.kcore import core_numbers
+from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+
+@pytest.fixture(scope="module")
+def agg_edges(spark, tiny_dir):
+    edges, _ = derive_edges(spark.read.parquet(tiny_dir))
+    agg = aggregate_edges(edges).cache()
+    agg.count()
+    return agg
+
+
+def _nx_cores(agg_pdf):
+    g = nx.Graph()
+    for r in agg_pdf.itertuples():
+        if r.src != r.dst:
+            g.add_edge(r.src, r.dst)
+    return nx.core_number(g)
+
+
+def test_kcore_matches_networkx_on_fixture(spark, agg_edges, tmp_path):
+    got = {
+        r.vid: r.core
+        for r in core_numbers(
+            spark, agg_edges, ckpt_dir=str(tmp_path / "kc"), num_partitions=8
+        ).collect()
+    }
+    want = _nx_cores(agg_edges.toPandas())
+    assert got == want
+
+
+def test_kcore_known_graph(spark, tmp_path):
+    """K4 (core 3) + a path tail (core 1) + a C4 cycle (core 2)."""
+    e = []
+    k4 = [10, 11, 12, 13]
+    e += [(a, b) for i, a in enumerate(k4) for b in k4[i + 1:]]
+    e += [(13, 20), (20, 21)]              # tail off the clique
+    e += [(30, 31), (31, 32), (32, 33), (33, 30)]  # 4-cycle
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = {
+        r.vid: r.core
+        for r in core_numbers(
+            spark, df, ckpt_dir=str(tmp_path / "kg"), num_partitions=4
+        ).collect()
+    }
+    g = nx.Graph(e)
+    assert got == nx.core_number(g)
+    assert all(got[v] == 3 for v in k4)
+    assert got[20] == got[21] == 1
+    assert all(got[v] == 2 for v in (30, 31, 32, 33))
+
+
+def test_kcore_parallelism_invariant(spark, agg_edges, tmp_path):
+    a = {
+        r.vid: r.core
+        for r in core_numbers(
+            spark, agg_edges, ckpt_dir=str(tmp_path / "a"), num_partitions=4
+        ).collect()
+    }
+    b = {
+        r.vid: r.core
+        for r in core_numbers(
+            spark,
+            agg_edges.repartition(13),
+            ckpt_dir=str(tmp_path / "b"),
+            num_partitions=16,
+        ).collect()
+    }
+    assert a == b
+
+
+def test_kcore_resume_equivalence(spark, agg_edges, tmp_path):
+    """Run 2 supersteps, then resume in a fresh call from the same
+    ckpt_dir: the final cores equal an uninterrupted run."""
+    ck = str(tmp_path / "resume")
+    core_numbers(spark, agg_edges, max_iter=2, ckpt_dir=ck, num_partitions=8)
+    resumed = {
+        r.vid: r.core
+        for r in core_numbers(
+            spark, agg_edges, ckpt_dir=ck, num_partitions=8
+        ).collect()
+    }
+    full = {
+        r.vid: r.core
+        for r in core_numbers(
+            spark, agg_edges, ckpt_dir=str(tmp_path / "full"), num_partitions=8
+        ).collect()
+    }
+    assert resumed == full
