@@ -46,6 +46,10 @@ CHECKS = {
         ("Scan json", "NDJSON leg scans through the JSON datasource"),
         ("ReadSchema:", "schema carried into the scan, never inferred"),
     ],
+    "sample_splits": [
+        ("TakeOrderedAndProject", "exact-n sample leg is per-partition top-n heaps, never a global sort"),
+        ("HashAggregate", "split/stratum legs aggregate with map-side partial combine"),
+    ],
     "grouped_agg_mad": [
         # Spark 4.x physical node name for a group-aggregate pandas UDF
         ("ArrowAggregatePython", "F4 grouped-agg pandas UDF runs as one Arrow-batched grouped pass"),
