@@ -2256,12 +2256,49 @@ def _ann_lsh_suite(spark, sf):
     )
 
 
+def _stream_reply_pairs(spark, sf):
+    """Stream-stream event-time INTERVAL self-join (2.10): each turn
+    paired with earlier same-conversation turns within the reply
+    window; exact multiset parity with the identical batch join is
+    asserted in tests/test_streaming_join.py. Normalized per-conv:
+    n_turns = pair count, n_buckets = distinct prior turns."""
+    import uuid
+
+    from reddit_processing_spark.streaming.incremental import (
+        read_transcript_stream,
+        streaming_reply_pairs,
+    )
+
+    stream = read_transcript_stream(spark, _fixture_dir())
+    pairs = streaming_reply_pairs(stream, reply_minutes=60, watermark="0 seconds")
+    qname = f"drv_replyj_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="drv_replyj_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(qname)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("prior_idx").alias("n_buckets"),
+        )
+        .orderBy("conv_id")
+    )
+
+
 def _stream_window_counts_both(spark, sf):
-    """2.10 windowed streaming in one entry: event-time TUMBLING
-    windows and event-time SESSION windows over the same replayed
-    transcript stream, normalized to (kind, conv_id, n_turns,
-    n_buckets). Batch-parity tests live in
-    tests/test_functions_streaming.py."""
+    """2.10 windowed + joined streaming in one entry: event-time
+    TUMBLING windows, event-time SESSION windows, and the
+    stream-stream INTERVAL self-join over the same replayed transcript
+    stream, normalized to (kind, conv_id, n_turns, n_buckets).
+    Batch-parity tests live in tests/test_functions_streaming.py and
+    tests/test_streaming_join.py."""
     tumb = _stream_window_counts(spark, sf).select(
         F.lit("tumbling").alias("kind"), "conv_id", "n_turns",
         F.col("n_windows").alias("n_buckets"),
@@ -2270,7 +2307,10 @@ def _stream_window_counts_both(spark, sf):
         F.lit("session").alias("kind"), "conv_id", "n_turns",
         F.col("n_sessions").alias("n_buckets"),
     )
-    return tumb.unionByName(sess).orderBy("kind", "conv_id")
+    rj = _stream_reply_pairs(spark, sf).select(
+        F.lit("reply_join").alias("kind"), "conv_id", "n_turns", "n_buckets"
+    )
+    return tumb.unionByName(sess).unionByName(rj).orderBy("kind", "conv_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -182,6 +182,57 @@ def conversation_state_tracker(
     )
 
 
+def streaming_reply_pairs(
+    transcripts: DataFrame,
+    reply_minutes: int = 60,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time INTERVAL self-join (SURVEY.md §2.10):
+    each arriving turn is paired with every EARLIER turn of the same
+    conversation whose timestamp lies within ``reply_minutes`` before
+    it — the streaming generalization of the batch lag-extraction (W1)
+    from strict adjacency to time-bounded adjacency.
+
+    Spark's stream-stream join rules are satisfied so state is
+    bounded: BOTH sides carry an event-time watermark and the join
+    condition includes a time-RANGE predicate
+    (``prior_ts ∈ [reply_ts − reply_minutes, reply_ts]``), which lets
+    the engine drop buffered rows once the watermark passes their
+    eligibility horizon. Inner join ⇒ append output; results are
+    emitted exactly once per matched pair. Batch parity (same join on
+    the static table) is asserted in tests."""
+    a = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").alias("reply_idx"),
+        F.col("role").alias("reply_role"),
+        F.col("ts").alias("reply_ts"),
+    ).withWatermark("reply_ts", watermark)
+    b = transcripts.select(
+        F.col("conv_id").alias("conv_id_b"),
+        F.col("turn_idx").alias("prior_idx"),
+        F.col("role").alias("prior_role"),
+        F.col("ts").alias("prior_ts"),
+    ).withWatermark("prior_ts", watermark)
+    # the JOIN condition carries only the equi-key and the time RANGE —
+    # that is what the streaming state-constraint extractor parses for
+    # buffered-row eviction; the non-time predicate (prior before reply
+    # in turn order) applies as a post-join filter, where it costs
+    # nothing and cannot confuse state cleanup.
+    cond = (
+        (F.col("conv_id") == F.col("conv_id_b"))
+        & (F.col("prior_ts") <= F.col("reply_ts"))
+        & (
+            F.col("prior_ts")
+            >= F.col("reply_ts") - F.expr(f"interval {int(reply_minutes)} minutes")
+        )
+    )
+    return (
+        a.join(b, cond, "inner")
+        .filter(F.col("prior_idx") < F.col("reply_idx"))
+        .select("conv_id", "prior_idx", "reply_idx", "prior_role", "reply_role")
+    )
+
+
 def streaming_session_counts(
     transcripts: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
