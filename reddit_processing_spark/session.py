@@ -56,18 +56,27 @@ def get_spark(
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
 
-    if master is None:
+    # Under spark-submit the launcher already owns the master (--master
+    # yarn/k8s/standalone): PythonRunner execs this script with
+    # PYSPARK_GATEWAY_PORT set, and calling .master() here would
+    # OVERRIDE the cluster manager with local[*]. Only pick a local
+    # default when running as a plain python process (tests, bench) or
+    # when the caller/env asks for one explicitly.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
-        if master.startswith("local[") and master[6:-1].isdigit():
+        if master and master.startswith("local[") and master[6:-1].isdigit():
             n = int(master[6:-1])
         shuffle_partitions = max(8, 2 * n)
 
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
