@@ -198,6 +198,15 @@ def main() -> None:
     cc_hist = CheckpointManager(cc_dir, "components").metrics_history()
     cc_msg_rows = [h.get("msg_rows") for h in cc_hist]
 
+    # k-core decomposition to convergence (h-index iteration)
+    from reddit_processing_spark.graph.kcore import core_numbers
+
+    kc_dir = tempfile.mkdtemp(prefix="bench_kcore_")
+    t4 = time.monotonic()
+    core_numbers(spark, agg, ckpt_dir=kc_dir, num_partitions=2 * int(cpus))
+    timings["kcore_to_convergence"] = round(time.monotonic() - t4, 3)
+    kcore_rounds = len(CheckpointManager(kc_dir, "kcore").metrics_history())
+
     print(
         json.dumps(
             {
@@ -219,6 +228,7 @@ def main() -> None:
                 "cc_star_rounds": star_rounds,
                 "cc_delta_supersteps": len(cc_msg_rows),
                 "cc_delta_msg_rows": cc_msg_rows,
+                "kcore_rounds": kcore_rounds,
                 **health,
             }
         )
