@@ -109,9 +109,9 @@ def bm25_scores(
     score 0.0 (every doc gets a row)."""
     q = [t.lower() for t in query_terms]
     terms = doc_terms(docs, text_col, id_col).filter(F.col("term").isin(q))
-    dfs = doc_frequencies(doc_terms(docs, text_col, id_col)).filter(
-        F.col("term").isin(q)
-    )
+    # df over the query terms only: the isin filter runs BEFORE the
+    # per-term aggregate, so the shuffle carries |q| keys, not |vocab|
+    dfs = doc_frequencies(terms)
     lens = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(ws_tokens(text_col)).cast("double").alias("dl"),
