@@ -104,28 +104,31 @@ def lang_id(text: Column | str) -> Column:
 def dup_line_fraction(text: Column | str) -> Column:
     """Fraction of lines that are duplicates of an earlier line
     (Gopher/RefinedWeb-style repetition signal): 1 − distinct/total
-    over non-empty trimmed lines; 0.0 for texts with no lines."""
+    over non-empty trimmed lines; 0.0 for texts with no lines AND for
+    NULL text (the coalesce below — size(split(NULL)) is NULL, which
+    would otherwise fall through every guard and surface as NULL,
+    silently failing `frac <= threshold` filters)."""
     c = F.col(text) if isinstance(text, str) else text
     lines = F.filter(
         F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
         lambda x: F.length(x) > 0,
     )
     n = F.size(lines)
-    return (
-        F.when(n <= 0, F.lit(0.0))
-        .otherwise(
+    return F.coalesce(
+        F.when(n <= 0, F.lit(0.0)).otherwise(
             F.lit(1.0) - F.size(F.array_distinct(lines)) / n.cast("double")
-        )
-        .cast("double")
-    )
+        ),
+        F.lit(0.0),
+    ).cast("double")
 
 
 def top_bigram_fraction(text: Column | str) -> Column:
     """Fraction of the document's word bigrams occupied by its single
     most frequent bigram (boilerplate / template repetition signal);
-    0.0 when fewer than 2 tokens. Pure Column expressions: bigrams via
-    a zip of the token array with its own tail, counts via per-element
-    filter inside one aggregate pass."""
+    0.0 when fewer than 2 tokens and for NULL text (coalesced, same
+    contract as dup_line_fraction). Pure Column expressions: bigrams
+    via a zip of the token array with its own tail, counts via one
+    sorted longest-equal-run aggregate pass."""
     toks = F.transform(ws_tokens(text), lambda x: F.lower(x))
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -154,11 +157,10 @@ def top_bigram_fraction(text: Column | str) -> Column:
         ),
         lambda acc: acc["best"],
     )
-    return (
-        F.when(nb <= 0, F.lit(0.0))
-        .otherwise(top / nb.cast("double"))
-        .cast("double")
-    )
+    return F.coalesce(
+        F.when(nb <= 0, F.lit(0.0)).otherwise(top / nb.cast("double")),
+        F.lit(0.0),
+    ).cast("double")
 
 
 def fingerprint(text: Column | str) -> Column:

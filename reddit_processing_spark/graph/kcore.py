@@ -82,6 +82,7 @@ def core_numbers(
         .orderBy(F.col("nest").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    changed = 0
     for step in range(start, max_iter):
         t0 = time.monotonic()
         msgs = sym.join(est, sym.dst == est.vid).select(
@@ -116,6 +117,21 @@ def core_numbers(
         est = written
         if changed == 0:
             break
+    if changed > 0:
+        # max_iter exhausted while estimates were still decreasing:
+        # the returned values are UPPER BOUNDS, not core numbers —
+        # say so instead of returning plausible-looking wrong values
+        # (same contract as connected_components_star's
+        # rounds-exhausted warning).
+        import warnings
+
+        warnings.warn(
+            f"core_numbers: h-index iteration did not converge within "
+            f"max_iter={max_iter} (last superstep still changed "
+            f"{changed} estimates); returned values are upper bounds "
+            "on the true core numbers — raise max_iter",
+            stacklevel=2,
+        )
 
     sym.unpersist()
     return est.select("vid", F.col("est").alias("core"))

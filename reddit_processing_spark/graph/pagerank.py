@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..plans.ckpt import CheckpointManager
+from ..plans.ckpt import CheckpointManager, mix_fingerprint
 
 
 def _vertices_from_edges(edges: DataFrame) -> DataFrame:
@@ -192,9 +192,7 @@ class PageRank:
             F.coalesce(F.bit_xor(F.xxhash64("src", "dst", "w_norm")), F.lit(0)).alias("h"),
         ).collect()[0]
         self.E = int(erow["n"])
-        self.fingerprint = (
-            self.E * 0x9E3779B97F4A7C15 ^ int(erow["h"])
-        ) & 0x7FFFFFFFFFFFFFFF
+        self.fingerprint = mix_fingerprint(self.E, erow["h"])
 
     # ---- one superstep ----------------------------------------------
     def _messages(self, state: DataFrame) -> DataFrame:

@@ -46,42 +46,20 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from reddit_processing_spark.operators.similarity import cosine
+from reddit_processing_spark.operators.similarity import (
+    cosine,
+    dense_valid_batch,
+    valid_vec_rows,
+)
 
 
 def _dense_valid(batch, dim: int):
-    """(ids, V[n, dim]) for the rows of an Arrow batch whose vector is
-    non-null, exactly ``dim`` long, has no null elements, and has a
-    non-zero norm. Callers pre-filter null/ragged/null-element rows in
-    the plan (so Catalyst sees the predicate); the zero-norm guard is
-    numeric and lives here."""
-    ids = batch.column(0).to_numpy(zero_copy_only=False)
-    vecs = batch.column(1)
-    flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    offs = vecs.offsets.to_numpy(zero_copy_only=False)
-    lens = np.diff(offs)
-    ok = lens == dim
-    if not ok.all():
-        keep = np.flatnonzero(ok)
-        starts = offs[:-1][keep] - offs[0]
-        gather = (starts[:, None] + np.arange(dim)[None, :]).ravel()
-        V = flat[gather].reshape(-1, dim)
-        ids = ids[keep]
-    else:
-        V = flat.reshape(-1, dim)
-    if V.shape[0]:
-        nz = (V != 0.0).any(axis=1)
-        if not nz.all():
-            V, ids = V[nz], ids[nz]
-    return ids, V
-
-
-def _valid_vec_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
-    ).filter(
-        F.col("vec").isNotNull() & ~F.exists(F.col("vec"), lambda x: x.isNull())
-    )
+    """IVF-flavored dense extraction: the shared ANN batch gather
+    (similarity.dense_valid_batch) PLUS zero-norm exclusion (cosine
+    undefined for the zero vector — LSH keeps such rows, IVF must
+    not). The plan-level null/ragged filter is valid_vec_rows, shared
+    with LSH so the two paths' candidate semantics cannot diverge."""
+    return dense_valid_batch(batch, dim, drop_zero_norm=True)
 
 
 def _normalize(C: np.ndarray) -> np.ndarray:
@@ -110,7 +88,7 @@ def fit_centroids(
     batch — which the driver combines (state is O(n_cells·dim), the
     same driver-scalar pattern as the PageRank L1 delta). Stops when
     the max centroid movement (L2) drops below ``tol``."""
-    src = _valid_vec_rows(embeddings, id_col, vec_col)
+    src = valid_vec_rows(embeddings, id_col, vec_col)
     seeds = (
         src.select(F.xxhash64(F.col("id")).alias("h"), "id", "vec")
         .orderBy("h", "id")
@@ -220,7 +198,7 @@ def assign_cells(
     """(id, cell): each valid row's single nearest (max-dot) centroid.
     Pure per-row kernel — no shuffle, parallelism-invariant."""
     dim = centroids.shape[1]
-    src = _valid_vec_rows(df, id_col, vec_col)
+    src = valid_vec_rows(df, id_col, vec_col)
     return src.mapInArrow(_cell_kernel(centroids, dim, 1), "id long, cell int")
 
 
@@ -233,7 +211,7 @@ def probe_cells(
 ) -> DataFrame:
     """(id, cell): the ``nprobe`` nearest cells per query row."""
     dim = centroids.shape[1]
-    src = _valid_vec_rows(queries, id_col, vec_col)
+    src = valid_vec_rows(queries, id_col, vec_col)
     return src.mapInArrow(
         _cell_kernel(centroids, dim, nprobe), "id long, cell int"
     )
@@ -318,7 +296,7 @@ def build_ivf_index(
             embeddings, n_cells, dim, id_col=id_col, vec_col=vec_col,
             max_iter=max_iter,
         )
-    base = _valid_vec_rows(embeddings, id_col, vec_col)
+    base = valid_vec_rows(embeddings, id_col, vec_col)
     assigned = assign_cells(embeddings, centroids, id_col, vec_col)
     (
         base.join(assigned, "id")

@@ -153,9 +153,7 @@ def uniform_sample_n(
     Spark plans TakeOrderedAndProject (per-partition top-n heaps, no
     global sort, no driver-side state beyond n rows)."""
     fn = hash_fn or xxhash01(salt)
-    return (
-        df.withColumn("_u", fn(F.col(key_col)))
-        .orderBy(F.col("_u").asc(), F.col(key_col).asc())
-        .limit(n)
-        .drop("_u")
-    )
+    # sort by the hash EXPRESSION directly — a temp column would
+    # clobber any same-named user column, and TakeOrderedAndProject
+    # handles computed sort keys without materializing them
+    return df.orderBy(fn(F.col(key_col)).asc(), F.col(key_col).asc()).limit(n)

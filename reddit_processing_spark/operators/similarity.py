@@ -65,6 +65,48 @@ def cosine_topk(
     )
 
 
+def valid_vec_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec) rows whose vector is non-null with no null ELEMENTS —
+    the SHARED null contract of every ANN path (LSH here, IVF in
+    operators/ivf.py): such rows get no bucket/cell and are never
+    candidates, matching the Column reference's null propagation
+    (round-2 ADVICE). Keep this the single definition — a change here
+    must apply to both paths or their candidate semantics diverge."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    ).filter(
+        F.col("vec").isNotNull() & ~F.exists(F.col("vec"), lambda x: x.isNull())
+    )
+
+
+def dense_valid_batch(batch, dim: int, drop_zero_norm: bool = False):
+    """(ids, V[n, dim]) from an Arrow batch of (id, vec): keeps only
+    rows whose vector is exactly ``dim`` long (offsets are
+    parent-relative on sliced arrays — the gather rebases onto the
+    flattened values). ``drop_zero_norm`` additionally excludes
+    all-zero vectors (IVF: cosine undefined; LSH keeps them — dot 0
+    still signs to a bucket, matching the Column oracle)."""
+    ids = batch.column(0).to_numpy(zero_copy_only=False)
+    vecs = batch.column(1)
+    flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = vecs.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    ok = lens == dim
+    if not ok.all():
+        keep = np.flatnonzero(ok)
+        starts = offs[:-1][keep] - offs[0]
+        gather = (starts[:, None] + np.arange(dim)[None, :]).ravel()
+        V = flat[gather].reshape(-1, dim)
+        ids = ids[keep]
+    else:
+        V = flat.reshape(-1, dim)
+    if drop_zero_norm and V.shape[0]:
+        nz = (V != 0.0).any(axis=1)
+        if not nz.all():
+            V, ids = V[nz], ids[nz]
+    return ids, V
+
+
 def _hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
     """Deterministic ±1 hyperplanes from splitmix64(table, plane, dim)."""
     idx = (
@@ -132,23 +174,7 @@ def lsh_bucket_table(
         for b in batches:
             if b.num_rows == 0:
                 continue
-            ids = b.column(0).to_numpy(zero_copy_only=False)
-            vecs = b.column(1)
-            flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            offs = vecs.offsets.to_numpy(zero_copy_only=False)
-            lens = np.diff(offs)
-            ok = lens == dim
-            if not ok.all():
-                keep = np.flatnonzero(ok)
-                # rebuild a dense [n_ok, dim] view of only well-shaped
-                # rows (offsets are parent-relative on sliced arrays —
-                # rebase onto the flattened values)
-                starts = offs[:-1][keep] - offs[0]
-                gather = (starts[:, None] + np.arange(dim)[None, :]).ravel()
-                V = flat[gather].reshape(-1, dim)
-                ids = ids[keep]
-            else:
-                V = flat.reshape(-1, dim)
+            ids, V = dense_valid_batch(b, dim)  # LSH keeps zero vectors
             n = V.shape[0]
             if n == 0:
                 continue
@@ -169,12 +195,7 @@ def lsh_bucket_table(
                 }
             )
 
-    src = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
-    ).filter(
-        F.col("vec").isNotNull()
-        & ~F.exists(F.col("vec"), lambda x: x.isNull())
-    )
+    src = valid_vec_rows(df, id_col, vec_col)
     return src.mapInArrow(kernel, "id long, tbl int, bkt long")
 
 

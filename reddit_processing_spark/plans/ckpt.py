@@ -32,6 +32,15 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def mix_fingerprint(n: int, h: int) -> int:
+    """The one shared mixing formula behind every graph fingerprint:
+    row count golden-ratio-multiplied, xor'd with the row-hash xor,
+    masked positive. Callers that fold (n, h) into an existing
+    aggregate (PageRank's warm-up) MUST come through here so all four
+    algorithms' manifests stay format-compatible."""
+    return (int(n) * 0x9E3779B97F4A7C15 ^ int(h)) & 0x7FFFFFFFFFFFFFFF
+
+
 def graph_fingerprint(edges: DataFrame, cols: tuple[str, ...] = ("src", "dst")) -> int:
     """Order-insensitive fingerprint of an edge set: row count mixed
     with bit_xor(xxhash64(cols)) — one scalar aggregate, no shuffle of
@@ -45,7 +54,7 @@ def graph_fingerprint(edges: DataFrame, cols: tuple[str, ...] = ("src", "dst")) 
         F.count("*").alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64(*cols)), F.lit(0)).alias("h"),
     ).collect()[0]
-    return (int(row["n"]) * 0x9E3779B97F4A7C15 ^ int(row["h"])) & 0x7FFFFFFFFFFFFFFF
+    return mix_fingerprint(row["n"], row["h"])
 
 
 class CheckpointManager:

@@ -66,18 +66,27 @@ def get_spark(
     if master is None and not under_submit:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and master is not None:
+        # local default: 2x cores. When the launcher owns the master
+        # (spark-submit, master None), DON'T derive a default from the
+        # DRIVER's cpu count — on a 400-core cluster that would pin
+        # every wide stage to ~16 tasks (AQE coalesces down, never up).
+        # The launcher/cluster config or the job's --partitions flag
+        # sizes it there.
         n = os.cpu_count() or 8
-        if master and master.startswith("local[") and master[6:-1].isdigit():
+        if master.startswith("local[") and master[6:-1].isdigit():
             n = int(master[6:-1])
         shuffle_partitions = max(8, 2 * n)
 
     builder = SparkSession.builder
     if master is not None:
         builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
         builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -60,6 +60,22 @@ def test_kcore_known_graph(spark, tmp_path):
     assert all(got[v] == 2 for v in (30, 31, 32, 33))
 
 
+def test_kcore_warns_when_not_converged(spark, tmp_path):
+    """max_iter exhausted mid-contraction ⇒ the values are upper
+    bounds, not cores — the call must say so (same contract as
+    cc_star's rounds-exhausted warning)."""
+    import warnings
+
+    # long path: degree-2 interior needs several h-index rounds to
+    # contract to core 1
+    e = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        core_numbers(spark, df, max_iter=1, ckpt_dir=str(tmp_path / "nc"))
+    assert any("did not converge" in str(x.message) for x in w)
+
+
 def test_kcore_parallelism_invariant(spark, agg_edges, tmp_path):
     a = {
         r.vid: r.core

@@ -22,7 +22,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def _dup_line(t):
     if t is None:
-        return None
+        return 0.0   # contract: NULL text scores 0.0, never NULL
     lines = [x.strip() for x in t.split("\n")]
     lines = [x for x in lines if x]
     if not lines:
@@ -32,7 +32,7 @@ def _dup_line(t):
 
 def _top_bigram(t):
     if t is None:
-        return None
+        return 0.0   # contract: NULL text scores 0.0, never NULL
     t = t.strip()
     toks = re.split(r"\s+", t.lower()) if t else []
     if len(toks) < 2:
@@ -53,6 +53,8 @@ def docs(spark):
             {"doc_id": 800003, "text": "", "lang": "en", "source": "t", "n_chars": 0},
             {"doc_id": 800004, "text": "word", "lang": "en", "source": "t",
              "n_chars": 4},
+            {"doc_id": 800005, "text": None, "lang": "en", "source": "t",
+             "n_chars": 0},
         ]
     )
     return spark.createDataFrame(
@@ -81,3 +83,7 @@ def test_repetition_signals_match_oracle(spark, docs):
     assert got.loc[800002, "tbf"] > 0.45                   # "now buy" dominates
     assert got.loc[800003, "dlf"] == 0.0 == got.loc[800003, "tbf"]
     assert got.loc[800004, "tbf"] == 0.0                   # single token
+    # NULL text: 0.0, NOT NULL — otherwise `frac <= threshold` quality
+    # filters silently drop null-text rows (ANSI: size(split(NULL)) is
+    # NULL and falls through every when() guard)
+    assert got.loc[800005, "dlf"] == 0.0 == got.loc[800005, "tbf"]
