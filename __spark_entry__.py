@@ -2005,7 +2005,9 @@ def _sample_splits(spark, sf):
       exhaustive by construction);
     - stratified_sample: per-segment mixing rates over customer;
     - uniform_sample_n: exactly-100 draw over orders
-      (TakeOrderedAndProject, no global sort).
+      (TakeOrderedAndProject, no global sort);
+    - weighted_sample_n: exactly-50 Efraimidis–Spirakis draw over
+      orders weighted by o_totalprice (ln(u)/w top-n).
 
     Each leg reports (n_rows, key_sum, key_min, key_max) — key_sum is
     an order-insensitive exact fingerprint of the selected key SET, so
@@ -2015,6 +2017,7 @@ def _sample_splits(spark, sf):
         portable_hash01,
         stratified_sample,
         uniform_sample_n,
+        weighted_sample_n,
     )
 
     o = _t(spark, sf, "orders")
@@ -2051,7 +2054,21 @@ def _sample_splits(spark, sf):
             F.max("o_orderkey").cast("long").alias("key_max"),
         )
     )
-    return leg1.unionByName(leg2).unionByName(leg3).orderBy("leg")
+    leg4 = (
+        weighted_sample_n(
+            o, "o_orderkey", "o_totalprice", 50, hash_fn=portable_hash01(13)
+        )
+        .groupBy(F.lit("weighted_n_50").alias("leg"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.min("o_orderkey").cast("long").alias("key_min"),
+            F.max("o_orderkey").cast("long").alias("key_max"),
+        )
+    )
+    return (
+        leg1.unionByName(leg2).unionByName(leg3).unionByName(leg4).orderBy("leg")
+    )
 
 
 _SAMPLE_SQL = """
@@ -2097,10 +2114,24 @@ leg3 AS (
          CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
          CAST(min(o_orderkey) AS BIGINT) AS key_min,
          CAST(max(o_orderkey) AS BIGINT) AS key_max
-  FROM n100)
+  FROM n100),
+w50 AS (
+  SELECT o_orderkey FROM (
+    SELECT o_orderkey,
+           ln(((o_orderkey * 2654435761 + 13) % 4294967296) / 4294967296.0)
+             / o_totalprice AS score
+    FROM orders WHERE o_totalprice > 0)
+  ORDER BY score DESC, o_orderkey ASC LIMIT 50),
+leg4 AS (
+  SELECT 'weighted_n_50' AS leg, count(*) AS n_rows,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         CAST(min(o_orderkey) AS BIGINT) AS key_min,
+         CAST(max(o_orderkey) AS BIGINT) AS key_max
+  FROM w50)
 SELECT * FROM leg1
 UNION ALL SELECT * FROM leg2
 UNION ALL SELECT * FROM leg3
+UNION ALL SELECT * FROM leg4
 ORDER BY leg
 """
 

@@ -140,6 +140,31 @@ def stratified_sample(
     return df.filter(fn(F.col(key_col)) < rate_expr)
 
 
+def weighted_sample_n(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: int = 0,
+    hash_fn: HashFn | None = None,
+) -> DataFrame:
+    """Exactly-n weighted sample WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row scores ``ln(u)/w`` with deterministic
+    ``u = hash01(key)`` and the n highest scores win — inclusion
+    probability rises with weight, selection is a pure function of
+    (key, weight, salt). Distributed shape is the same
+    TakeOrderedAndProject top-n as ``uniform_sample_n``. Rows with
+    non-positive weight are excluded (A-ES is undefined there);
+    ``u == 0`` maps to −inf and simply never wins."""
+    fn = hash_fn or xxhash01(salt)
+    score = F.log(fn(F.col(key_col))) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .orderBy(score.desc(), F.col(key_col).asc())
+        .limit(n)
+    )
+
+
 def uniform_sample_n(
     df: DataFrame,
     key_col: str,

@@ -15,6 +15,7 @@ from reddit_processing_spark.operators.sampling import (
     sample_fraction,
     stratified_sample,
     uniform_sample_n,
+    weighted_sample_n,
     xxhash01,
 )
 
@@ -99,6 +100,43 @@ def test_uniform_sample_n_exact_and_stable(spark, orders):
         s1._jdf.queryExecution(), "formatted"
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_n_matches_numpy_oracle(spark, orders):
+    """A-ES selection is a pure function of (key, weight, salt):
+    recompute the exact same ln(u)/w top-n in numpy with the portable
+    hash and require identical selection; weight-proportional
+    inclusion sanity over many salts runs numpy-side (cheap)."""
+    import numpy as np
+
+    pdf = orders.select("o_orderkey", "o_totalprice").toPandas()
+    keys = pdf["o_orderkey"].to_numpy(dtype=np.int64)
+    w = pdf["o_totalprice"].to_numpy(dtype=np.float64)
+
+    def u_of(salt):
+        return ((keys * 2654435761 + salt) % 4294967296) / 4294967296.0
+
+    got = weighted_sample_n(
+        orders, "o_orderkey", "o_totalprice", 50, hash_fn=portable_hash01(9)
+    )
+    g = sorted(r["o_orderkey"] for r in got.select("o_orderkey").collect())
+    score = np.log(u_of(9)) / w
+    order = np.lexsort((keys, -score))
+    e = sorted(keys[order[:50]].tolist())
+    assert g == e
+    # inclusion frequency tracks weight: over 300 salts, the top-decile
+    # weight rows must be selected far more often than the bottom decile
+    hi = w >= np.quantile(w, 0.9)
+    lo = w <= np.quantile(w, 0.1)
+    hits_hi = hits_lo = 0
+    for s in range(300):
+        sc = np.log(u_of(s)) / w
+        top = np.argpartition(-sc, 49)[:50]
+        sel = np.zeros(len(keys), dtype=bool)
+        sel[top] = True
+        hits_hi += sel[hi].sum()
+        hits_lo += sel[lo].sum()
+    assert hits_hi > 3 * max(hits_lo, 1)
 
 
 def test_portable_hash_matches_duckdb_rowwise(spark, orders):
