@@ -1,0 +1,102 @@
+"""Table maintenance: small-file compaction and sort-for-skipping —
+the housekeeping a 100 TB parquet/Iceberg estate runs continuously
+(Iceberg calls it ``rewrite_data_files``; this is the analog for the
+engine's parquet+manifest backend, SURVEY.md §4.2.7).
+
+Why it matters at scale: streaming sinks and fine-grained partitioned
+writes accumulate thousands of KB-sized files; every downstream scan
+then pays per-file open/footer costs and the scheduler pays per-split
+overhead. Compaction rewrites a directory into ~target-sized files;
+optionally sorting within files clusters row-group min/max statistics
+so selective scans skip whole row groups (data skipping — the poor
+man's z-order for a single sort dimension).
+
+Atomicity: the rewrite lands in a sibling temp directory and swaps in
+via two ``os.rename`` calls (old → trash, new → path), which is atomic
+on a local/POSIX filesystem; on object stores this seam is where
+Iceberg's snapshot commit takes over (same argument as
+``ParquetTableIO``'s manifest rename). The original directory is
+retained as ``<path>.compact-trash`` until the caller deletes it —
+crash-safe: at every instant either the old or the new directory is
+live at ``path``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def parquet_file_count(path: str) -> int:
+    n = 0
+    for _, _, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+    keep_trash: bool = True,
+) -> dict:
+    """Rewrite the parquet directory at ``path`` into
+    ``ceil(total_bytes / target_file_bytes)`` files (min 1).
+
+    ``sort_cols``: sortWithinPartitions on these columns before the
+    write so each file's row groups carry tight min/max statistics on
+    them — selective scans then skip row groups (data skipping).
+    Repartition (a shuffle) rather than coalesce: coalesce merges
+    *adjacent* partitions and inherits their skew, producing uneven
+    output files; compaction's whole point is even ones.
+
+    Returns {files_before, files_after, bytes, rows} — rows is
+    re-counted from the rewritten directory (cheap metadata count) and
+    compared against the input as a guard before the swap."""
+    files_before = parquet_file_count(path)
+    total_bytes = _dir_bytes(path)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    src = spark.read.parquet(path)
+    rows_before = src.count()
+    out = src.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*[F.col(c) for c in sort_cols])
+
+    tmp = path.rstrip("/") + ".compact-tmp"
+    trash = path.rstrip("/") + ".compact-trash"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp)
+
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row-count mismatch ({rows_before} -> {rows_after}); "
+            f"original left untouched at {path}"
+        )
+    os.rename(path.rstrip("/"), trash)   # atomic on POSIX
+    os.rename(tmp, path.rstrip("/"))
+    if not keep_trash:
+        shutil.rmtree(trash, ignore_errors=True)
+    return {
+        "files_before": files_before,
+        "files_after": parquet_file_count(path),
+        "bytes": total_bytes,
+        "rows": rows_after,
+    }
