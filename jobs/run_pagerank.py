@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--master", default=None)
     p.add_argument("--n-users", type=int, default=None)
+    p.add_argument(
+        "--personalization",
+        default=None,
+        help="optional parquet of (vid:long, p:double) teleport weights "
+        "— personalized PageRank (networkx semantics)",
+    )
     args = p.parse_args(argv)
 
     from reddit_processing_spark.graph.pagerank import PageRank
@@ -52,8 +58,16 @@ def main(argv: list[str] | None = None) -> dict:
     transcripts = spark.read.parquet(args.transcripts)
     edges, _ = derive_edges(transcripts, n_users=args.n_users)
     agg = aggregate_edges(edges)
+    pers = (
+        spark.read.parquet(args.personalization) if args.personalization else None
+    )
     pr = PageRank(
-        spark, agg, num_partitions=args.partitions, salt=args.salt, kernel=args.kernel
+        spark,
+        agg,
+        num_partitions=args.partitions,
+        salt=args.salt,
+        kernel=args.kernel,
+        personalization=pers,
     )
     setup_s = time.monotonic() - t0
 

@@ -14,6 +14,7 @@ def pagerank(
     alpha: float = 0.85,
     tol: float = 1e-12,
     max_iter: int = 5000,
+    personalization: dict[int, float] | None = None,
 ) -> dict[int, float]:
     vids = np.unique(np.concatenate([edges["src"].to_numpy(), edges["dst"].to_numpy()]))
     n = len(vids)
@@ -27,12 +28,24 @@ def pagerank(
     dangling = out_w == 0.0
     w_norm = w / out_w[src]
 
+    # teleport vector: uniform, or the normalized personalization dict
+    # (missing vids weight 0) — networkx _pagerank_scipy semantics,
+    # dangling weights defaulting to the same vector.
+    if personalization is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        p = np.array([float(personalization.get(int(v), 0.0)) for v in vids])
+        s = p.sum()
+        if s <= 0:
+            raise ZeroDivisionError("personalization sums to zero")
+        p = p / s
+
     r = np.full(n, 1.0 / n)
     for _ in range(max_iter):
         contrib = np.zeros(n)
         np.add.at(contrib, dst, r[src] * w_norm)
         dangle = r[dangling].sum()
-        r_new = (1 - alpha) / n + alpha * (contrib + dangle / n)
+        r_new = (1 - alpha) * p + alpha * (contrib + dangle * p)
         if np.abs(r_new - r).sum() < tol:
             r = r_new
             break

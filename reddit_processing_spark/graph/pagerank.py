@@ -127,7 +127,17 @@ class PageRank:
         num_partitions: int | None = None,
         salt: int = 1,
         kernel: str = "csr",
+        personalization: DataFrame | None = None,
     ):
+        """``personalization``: optional (vid, p) teleport weights —
+        personalized PageRank with networkx ``_pagerank_scipy``
+        semantics: p is L1-normalized, vids absent from it get weight
+        0, and dangling mass is redistributed by the SAME vector
+        (``dangling=None`` default). The update becomes
+        ``r' = (1-d)·p + d·(Aᵀr + dangle·p)`` — per-vertex teleport is
+        a column carried in the superstep state, so the iteration
+        plan is unchanged (no extra join; the scalar base folds into
+        a pw-weighted column)."""
         if kernel not in ("csr", "sql", "csr_pandas"):
             raise ValueError(f"unknown kernel {kernel!r}")
         self.spark = spark
@@ -151,17 +161,37 @@ class PageRank:
         # next dangling mass come from ONE aggregate over the
         # checkpoint read-back instead of extra joins.
         srcs = edges.select(F.col("src").alias("vid")).distinct()
-        self.vertices = (
+        verts = (
             _vertices_from_edges(edges)
             .join(srcs.withColumn("_has_out", F.lit(True)), "vid", "left")
             .select("vid", F.coalesce(F.col("_has_out"), F.lit(False)).alias("has_out"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        counts = self.vertices.agg(
+        self.personalized = personalization is not None
+        if self.personalized:
+            pvec = personalization.select(
+                "vid", F.col("p").cast("double").alias("_p_raw")
+            )
+            # un-normalized teleport weight rides the vertex skeleton;
+            # its sum folds into the one setup aggregate below, so
+            # normalization costs no extra job.
+            verts = verts.join(pvec, "vid", "left").withColumn(
+                "_p_raw", F.coalesce(F.col("_p_raw"), F.lit(0.0))
+            )
+        self.vertices = verts.persist(StorageLevel.MEMORY_AND_DISK)
+        aggs = [
             F.count("*").alias("v"),
             F.sum(F.when(~F.col("has_out"), 1).otherwise(0)).alias("d"),
-        ).collect()[0]
+        ]
+        if self.personalized:
+            aggs.append(F.sum("_p_raw").alias("psum"))
+        counts = self.vertices.agg(*aggs).collect()[0]
         self.V, self.D = int(counts["v"]), int(counts["d"] or 0)
+        if self.personalized:
+            self.psum = float(counts["psum"] or 0.0)
+            if self.psum <= 0:
+                raise ValueError(
+                    "personalization weights sum to zero over the graph's vertices"
+                )
 
         out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
         enorm = (
@@ -248,9 +278,15 @@ class PageRank:
 
         start_step = 0
         dangle = D / V  # analytic at uniform init
-        init = self.vertices.select(
-            "vid", F.lit(1.0 / V).alias("rank"), "has_out", F.lit(0.0).alias("dstep")
-        )
+        init_cols = [
+            F.col("vid"),
+            F.lit(1.0 / V).alias("rank"),
+            F.col("has_out"),
+            F.lit(0.0).alias("dstep"),
+        ]
+        if self.personalized:
+            init_cols.append((F.col("_p_raw") / F.lit(self.psum)).alias("pw"))
+        init = self.vertices.select(*init_cols)
         state = init
         if resume:
             last = ckpt.latest_valid_step()
@@ -260,7 +296,11 @@ class PageRank:
                 # older state layout (e.g. bare (vid, rank)) is ignored
                 # with a warning — resuming it would crash with an
                 # unresolved-column error mid-superstep (round-1 ADVICE).
-                required = {"vid", "rank", "has_out", "dstep"}
+                # personalized runs carry pw, so a uniform run also
+                # refuses a personalized checkpoint and vice versa.
+                required = {"vid", "rank", "has_out", "dstep"} | (
+                    {"pw"} if self.personalized else set()
+                )
                 if set(cand.columns) == required:
                     start_step = last
                     state = cand
@@ -283,20 +323,31 @@ class PageRank:
         for step in range(start_step, max_iter):
             t0 = time.monotonic()
             msgs = self._messages(state)
-            base = (1.0 - d) / V + d * dangle / V
             # state ⋈ msgs carries old rank + dangling flag through, so
             # the per-step L1 delta is a COLUMN of the new state (free
             # lineage metric in the checkpoint) and the two scalars come
             # from one aggregate over the materialized read-back.
-            new_rank = F.lit(base) + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            if self.personalized:
+                # r' = (1-d)·pw + d·(contrib + dangle·pw)
+                new_rank = F.lit((1.0 - d) + d * dangle) * F.col("pw") + F.lit(
+                    d
+                ) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            else:
+                base = (1.0 - d) / V + d * dangle / V
+                new_rank = F.lit(base) + F.lit(d) * F.coalesce(
+                    F.col("contrib"), F.lit(0.0)
+                )
+            out_cols = [
+                F.col("vid"),
+                new_rank.alias("rank"),
+                F.col("has_out"),
+                F.abs(new_rank - F.col("rank")).alias("dstep"),
+            ]
+            if self.personalized:
+                out_cols.append(F.col("pw"))
             new_state = state.join(
                 msgs.hint("SHUFFLE_HASH"), state.vid == msgs.dst, "left"
-            ).select(
-                "vid",
-                new_rank.alias("rank"),
-                "has_out",
-                F.abs(new_rank - F.col("rank")).alias("dstep"),
-            )
+            ).select(*out_cols)
             # observe() computes the two scalars DURING the checkpoint
             # write pass — no second job, no read-back scan.
             from pyspark.sql import Observation
@@ -356,9 +407,17 @@ def pagerank(
     num_partitions: int | None = None,
     salt: int = 1,
     kernel: str = "csr",
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """Functional entry point; see :class:`PageRank`."""
-    pr = PageRank(spark, edges, num_partitions=num_partitions, salt=salt, kernel=kernel)
+    pr = PageRank(
+        spark,
+        edges,
+        num_partitions=num_partitions,
+        salt=salt,
+        kernel=kernel,
+        personalization=personalization,
+    )
     try:
         return pr.run(d=d, tol=tol, max_iter=max_iter, ckpt_dir=ckpt_dir)
     finally:
