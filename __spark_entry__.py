@@ -889,6 +889,70 @@ FROM tri
 """
 
 
+def _linkpred_cooccurrence(spark, sf):
+    """Link prediction (common-neighbors / Jaccard / Adamic-Adar) on
+    the part co-occurrence graph — top-20 predicted links by
+    Adamic-Adar with a (score, a, b) total-order tie-break, verified
+    hash-exact against an independent DuckDB wedge-join formulation.
+    networkx parity on the transcript graph lives in
+    tests/test_linkpred.py."""
+    from reddit_processing_spark.graph.linkpred import link_prediction_scores
+
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+    )
+    scores, _ = link_prediction_scores(spark, pairs)
+    return (
+        scores.select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+_LINKPRED_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+deg AS (SELECT s AS v, count(*) AS deg FROM e GROUP BY s),
+wedge AS (
+  SELECT w1.s AS a, w2.d AS b, w1.d AS z
+  FROM e w1 JOIN e w2 ON w1.d = w2.s
+  WHERE w1.s < w2.d),
+scored AS (
+  SELECT a, b, count(*) AS common,
+         sum(1.0 / ln(CAST(dz.deg AS DOUBLE))) AS aa
+  FROM wedge JOIN deg dz ON wedge.z = dz.v
+  GROUP BY a, b),
+cand AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = s.a AND e.d = s.b))
+SELECT c.a, c.b, CAST(c.common AS BIGINT) AS common,
+       round(c.common / CAST(da.deg + db.deg - c.common AS DOUBLE), 6) AS jaccard,
+       round(c.aa, 6) AS adamic_adar
+FROM cand c
+JOIN deg da ON c.a = da.v
+JOIN deg db ON c.b = db.v
+ORDER BY round(c.aa, 6) DESC, c.a, c.b
+LIMIT 20
+"""
+
+
 # ---- rows-only graph/dedup entries (non-SQL-expressible) ----------
 def _graph_pagerank_top20(spark, sf):
     """Iterative fixpoint — rows-only for the driver; exact-parity
@@ -1493,6 +1557,45 @@ SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
        CAST(coalesce(o.spent_c, 0) AS BIGINT)  AS spent_c
 FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
 ORDER BY custkey
+"""
+
+
+def _join_outer_suite(spark, sf):
+    """LEFT-join null handling + FULL-outer null completion in ONE
+    entry (registry-cap consolidation, SURVEY §5.1): the left leg is
+    the per-customer order-count histogram, the full leg the
+    two-sided null-completion detail — normalized to a common schema
+    and tagged."""
+    left = _join_outer(spark, sf).select(
+        F.lit("left_hist").alias("leg"),
+        F.col("n_orders").alias("k"),
+        F.lit(True).alias("has_cust"),
+        F.lit(True).alias("has_orders"),
+        F.col("n_customers").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    full = _join_full_outer(spark, sf).select(
+        F.lit("full").alias("leg"),
+        F.col("custkey").alias("k"),
+        "has_cust",
+        "has_orders",
+        F.col("n_orders").alias("v1"),
+        F.col("spent_c").alias("v2"),
+    )
+    return left.unionByName(full).orderBy("leg", "k")
+
+
+_OUTER_SUITE_SQL = f"""
+WITH left_leg AS ({_OUTER_SQL.strip().rstrip()}),
+     full_leg AS ({_FULL_OUTER_SQL.strip().rstrip()})
+SELECT 'left_hist' AS leg, n_orders AS k, TRUE AS has_cust, TRUE AS has_orders,
+       CAST(n_customers AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2
+FROM left_leg
+UNION ALL
+SELECT 'full', custkey, has_cust, has_orders,
+       CAST(n_orders AS BIGINT), CAST(spent_c AS BIGINT)
+FROM full_leg
+ORDER BY leg, k
 """
 
 
@@ -2239,9 +2342,85 @@ def _graph_cc_sizes_both(spark, sf):
     hm = _graph_cc_sizes(spark, sf).withColumn("algo", F.lit("hashmin"))
     star = _graph_cc_star_sizes(spark, sf).withColumn("algo", F.lit("star"))
     kc = _graph_kcore_sizes(spark, sf).withColumn("algo", F.lit("kcore"))
-    return hm.unionByName(star).unionByName(kc).select(
+    bfs = _graph_bfs_histogram(spark, sf)
+    return hm.unionByName(star).unionByName(kc).unionByName(bfs).select(
         "algo", "comp", "size"
     ).orderBy("algo", F.desc("size"), F.asc("comp"))
+
+
+def _graph_bfs_histogram(spark, sf):
+    """Multi-source BFS distance histogram (algo='bfs', comp=hop
+    distance, size=vertex count at that distance) from three
+    deterministic seed vertices; exact networkx parity asserted in
+    tests/test_bfs.py."""
+    from reddit_processing_spark.graph.bfs import bfs_distances
+    from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+    t = spark.read.parquet(_fixture_dir())
+    edges, _ = derive_edges(t, n_users=TINY_N_USERS)
+    agg = aggregate_edges(edges)
+    vids = agg.select(F.col("src").alias("vid")).unionByName(
+        agg.select(F.col("dst").alias("vid"))
+    ).distinct()
+    srcs = vids.orderBy("vid").limit(3)
+    dists = bfs_distances(
+        spark, agg, srcs, num_partitions=8,
+        ckpt_dir=tempfile.mkdtemp(prefix="drv_bfs_"),
+    )
+    return dists.groupBy(F.col("dist").alias("comp")).agg(
+        F.count("*").alias("size")
+    ).select(F.lit("bfs").alias("algo"), "comp", "size")
+
+
+def _graph_rank_suite(spark, sf):
+    """The three ranking algorithms in one rows-only entry
+    (registry-cap consolidation): top-20 by uniform PageRank, top-10
+    by personalized PageRank (teleport restricted to a deterministic
+    vertex subset — networkx _pagerank_scipy semantics), top-10 by
+    HITS hub score — tagged and unioned. Numpy-oracle parity
+    (allclose 1e-6) asserted in tests/test_graph.py and
+    tests/test_ppr_hits.py."""
+    plain = _graph_pagerank_top20(spark, sf).select(
+        F.lit("pagerank").alias("algo"), "vid", F.col("rank").alias("score")
+    )
+    from reddit_processing_spark.graph.hits import HITS
+    from reddit_processing_spark.graph.pagerank import PageRank
+    from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+    t = spark.read.parquet(_fixture_dir())
+    edges, _ = derive_edges(t, n_users=TINY_N_USERS)
+    agg = aggregate_edges(edges)
+    vids = agg.select(F.col("src").alias("vid")).unionByName(
+        agg.select(F.col("dst").alias("vid"))
+    ).distinct()
+    pers = vids.where(F.col("vid") % 3 == 0).select(
+        "vid", (F.lit(1.0) + (F.col("vid") % 7).cast("double")).alias("p")
+    )
+    pr = PageRank(spark, agg, num_partitions=8, kernel="csr", personalization=pers)
+    try:
+        ppr = pr.run(
+            d=0.85, tol=1e-6, max_iter=60,
+            ckpt_dir=tempfile.mkdtemp(prefix="drv_ppr_"),
+        ).select(
+            F.lit("ppr").alias("algo"), "vid",
+            F.round("rank", 6).alias("score"),
+        ).orderBy(F.desc("score"), F.asc("vid")).limit(10)
+    finally:
+        pr.unpersist()
+    ht = HITS(spark, agg, num_partitions=8)
+    try:
+        hub = ht.run(
+            tol=1e-8, max_iter=80,
+            ckpt_dir=tempfile.mkdtemp(prefix="drv_hits_"),
+        ).select(
+            F.lit("hits_hub").alias("algo"), "vid",
+            F.round("hub", 6).alias("score"),
+        ).orderBy(F.desc("score"), F.asc("vid")).limit(10)
+    finally:
+        ht.unpersist()
+    return plain.unionByName(ppr).unionByName(hub).orderBy(
+        "algo", F.desc("score"), F.asc("vid")
+    )
 
 
 def _dedup_sketch_pairs(spark, sf):
@@ -2353,15 +2532,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": _q5_region_revenue,
         "join_semi_high_qty": _join_semi,
         "join_anti_no_orders": _join_anti,
-        "join_outer_order_counts": _join_outer,
-        "join_full_outer_counts": _join_full_outer,
+        "join_outer_suite": _join_outer_suite,
         "agg_distinct_per_supplier": _agg_distinct,
         "agg_multidim_grouping": _agg_multidim_grouping,
         "grouped_agg_mad": _grouped_agg_mad,
         # ---- rows-only (iterative fixpoints / sketches / streams):
         # placed mid-registry, not at the tail — these are the entries
         # a truncated driver pass historically dropped.
-        "graph_pagerank_top20": _graph_pagerank_top20,
+        "graph_rank_suite": _graph_rank_suite,
         "graph_cc_sizes": _graph_cc_sizes_both,
         "graph_lpa_sizes": _graph_lpa_sizes,
         "dedup_sketch_pairs": _dedup_sketch_pairs,
@@ -2404,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_role_pairs": _edge_role_pairs,
         "reply_edges_per_user": _reply_edges_per_user,
         "tri_part_cooccurrence": _tri_cooccurrence,
+        "linkpred_part_cooccurrence": _linkpred_cooccurrence,
         # ---- sources / sinks ----
         "scan_text_roundtrip": _scan_text_roundtrip,
         "split_bucket_invariants": _split_bucket_invariants,
@@ -2423,8 +2602,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_region_revenue": _Q5_SQL,
         "join_semi_high_qty": _SEMI_SQL,
         "join_anti_no_orders": _ANTI_SQL,
-        "join_outer_order_counts": _OUTER_SQL,
-        "join_full_outer_counts": _FULL_OUTER_SQL,
+        "join_outer_suite": _OUTER_SUITE_SQL,
         "agg_distinct_per_supplier": _DISTINCT_SQL,
         "agg_multidim_grouping": _MULTIDIM_SQL,
         "grouped_agg_mad": _MAD_SQL,
@@ -2457,6 +2635,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_role_pairs": _edge_role_pairs_sql(),
         "reply_edges_per_user": _reply_edges_per_user_sql(),
         "tri_part_cooccurrence": _TRI_SQL,
+        "linkpred_part_cooccurrence": _LINKPRED_SQL,
         "scan_text_roundtrip": _SCAN_TEXT_SQL,
         "split_bucket_invariants": _SPLIT_SQL,
         "merge_entity_sink": _MERGE_ENTITY_SQL,

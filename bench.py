@@ -102,6 +102,7 @@ def main() -> None:
         "dedup_minhash_pairs": entrymod._dedup_minhash,
         "sim_topk_cosine": entrymod._sim_topk,
         "tri_part_cooccurrence": entrymod._tri_cooccurrence,
+        "linkpred_part_cooccurrence": entrymod._linkpred_cooccurrence,
         "embed_near_dup_lsh": entrymod._embed_near_dup_lsh,
         "ann_lsh_topk": entrymod._ann_lsh,
         "ann_ivf_topk": entrymod._ann_ivf,
@@ -206,6 +207,42 @@ def main() -> None:
     core_numbers(spark, agg, ckpt_dir=kc_dir, num_partitions=2 * int(cpus))
     timings["kcore_to_convergence"] = round(time.monotonic() - t4, 3)
     kcore_rounds = len(CheckpointManager(kc_dir, "kcore").metrics_history())
+
+    # HITS: per-superstep wall over the same fixed superstep count as
+    # PageRank (each superstep = two edge joins + the mid-step
+    # normalization aggregate — see graph/hits.py)
+    from reddit_processing_spark.graph.hits import HITS
+
+    ht = HITS(spark, agg, num_partitions=2 * int(cpus))
+    hits_dir = tempfile.mkdtemp(prefix="bench_hits_")
+    t5 = time.monotonic()
+    ht.run(tol=0.0, max_iter=BENCH_SUPERSTEPS, ckpt_dir=hits_dir)
+    timings["hits_superstep"] = round(
+        (time.monotonic() - t5) / BENCH_SUPERSTEPS, 3
+    )
+    ht.unpersist()
+
+    # BFS frontier expansion: 10 capped supersteps from 3 seeds (same
+    # capping rationale as cc_delta — this graph's diameter makes
+    # full convergence an O(diameter) affair)
+    from pyspark.sql import functions as F
+
+    from reddit_processing_spark.graph.bfs import bfs_distances
+
+    seeds = (
+        agg.select(F.col("src").alias("vid"))
+        .unionByName(agg.select(F.col("dst").alias("vid")))
+        .distinct()
+        .orderBy("vid")
+        .limit(3)
+    )
+    bfs_dir = tempfile.mkdtemp(prefix="bench_bfs_")
+    t6 = time.monotonic()
+    bfs_distances(
+        spark, agg, seeds, max_iter=10, ckpt_dir=bfs_dir,
+        num_partitions=2 * int(cpus),
+    ).write.format("noop").mode("overwrite").save()
+    timings["bfs_10_supersteps"] = round(time.monotonic() - t6, 3)
 
     print(
         json.dumps(

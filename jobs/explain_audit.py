@@ -60,6 +60,10 @@ CHECKS = {
     "set_ops_custkeys": [
         ("HashAggregate", "single-plan union/intersect/except via tag+groupBy (no driver-side counts)"),
     ],
+    "linkpred_part_cooccurrence": [
+        ("HashAggregate", "wedge groupBy(a,b) aggregates with map-side partial combine"),
+        ("ShuffledHashJoin", "degree attach joins are shuffle-hash (|V|-row sides, never blind broadcast)"),
+    ],
 }
 
 

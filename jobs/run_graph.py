@@ -1,4 +1,5 @@
-"""spark-submit job: transcripts → edges → {cc | lpa | triangles}.
+"""spark-submit job: transcripts → edges →
+{cc | cc_star | lpa | triangles | kcore | hits | bfs}.
 
 Usage (cluster):
   spark-submit --py-files dist/engine.zip jobs/run_graph.py \
@@ -23,7 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument(
-        "--algo", choices=["cc", "cc_star", "lpa", "triangles", "kcore"], required=True
+        "--algo",
+        choices=["cc", "cc_star", "lpa", "triangles", "kcore", "hits", "bfs"],
+        required=True,
+    )
+    p.add_argument(
+        "--sources",
+        default=None,
+        help="bfs only: comma-separated source vids (default: 3 smallest)",
     )
     p.add_argument("--transcripts", required=True)
     p.add_argument("--ckpt", default=None)
@@ -82,6 +90,33 @@ def main(argv: list[str] | None = None) -> dict:
             num_partitions=args.partitions,
         )
         manifest_algo = "kcore"
+    elif args.algo == "hits":
+        from reddit_processing_spark.graph.hits import HITS
+
+        h = HITS(spark, agg, num_partitions=args.partitions)
+        out = h.run(max_iter=args.max_iter, ckpt_dir=args.ckpt)
+        manifest_algo = "hits"
+    elif args.algo == "bfs":
+        from pyspark.sql import functions as F
+
+        from reddit_processing_spark.graph.bfs import bfs_distances
+
+        if args.sources:
+            vids = [int(v) for v in args.sources.split(",")]
+            src_df = spark.createDataFrame([(v,) for v in vids], "vid long")
+        else:
+            src_df = (
+                agg.select(F.col("src").alias("vid"))
+                .unionByName(agg.select(F.col("dst").alias("vid")))
+                .distinct()
+                .orderBy("vid")
+                .limit(3)
+            )
+        out = bfs_distances(
+            spark, agg, src_df, max_iter=args.max_iter, ckpt_dir=args.ckpt,
+            num_partitions=args.partitions,
+        )
+        manifest_algo = "bfs"
     else:
         out = triangle_count(spark, agg)
         manifest_algo = None

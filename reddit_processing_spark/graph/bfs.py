@@ -1,0 +1,142 @@
+"""Multi-source BFS shortest-path distances as frontier iteration
+(SURVEY.md §2.11).
+
+Classic link-graph primitive: hop distance from a source set to every
+reachable vertex (degrees-of-separation, influence radius, seed-set
+expansion). Same engine shape as hash-min connected components —
+monotone integer min over [state ∪ frontier messages], so results are
+bit-identical at any parallelism, and only vertices whose distance
+improved last superstep broadcast this superstep (frontier-delta:
+message volume tracks the expanding rim, not |E|).
+
+Unreached vertices carry the INF sentinel (2^62) through the
+iteration — an integer min over a union needs a total order, and a
+null distance would need an outer-join branch instead (SURVEY §4.3:
+union + groupBy beats outer join for monotone states). The public
+result filters the sentinel out and returns only reached vertices.
+
+Scale: the (symmetrized) edge table is shuffled once at setup and
+persisted hash-partitioned by ``src``; each superstep shuffles only
+the frontier messages plus the (vid, dist) state. Convergence needs
+O(eccentricity of the source set) supersteps — bounded by graph
+diameter, the same envelope as hash-min CC.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..plans.ckpt import CheckpointManager, mix_fingerprint
+from .components import _resume_state, symmetrize
+
+INF = 1 << 62
+STATE_COLS = {"vid", "dist", "chg"}
+
+
+def bfs_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 100,
+    ckpt_dir: str | None = None,
+    num_partitions: int | None = None,
+    directed: bool = False,
+    resume: bool = True,
+) -> DataFrame:
+    """Hop distances from ``sources`` (a (vid) DataFrame) to every
+    reachable vertex; returns (vid, dist) with dist = 0 for sources.
+    ``directed=True`` follows edges src→dst only."""
+    import tempfile
+
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst") if directed else symmetrize(edges)
+    e = e.repartition(P, "src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .unionByName(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    erow = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    fp = mix_fingerprint(int(erow["n"]), erow["h"])
+
+    ckpt = CheckpointManager(
+        ckpt_dir or tempfile.mkdtemp(prefix="bfs_ckpt_"), "bfs", fingerprint=fp
+    )
+
+    src_tag = sources.select(F.col("vid").cast("long").alias("vid")).distinct()
+    state = (
+        verts.join(src_tag.withColumn("_is_src", F.lit(True)), "vid", "left")
+        .select(
+            "vid",
+            F.when(F.col("_is_src"), F.lit(0)).otherwise(F.lit(INF)).alias("dist"),
+            F.coalesce(F.col("_is_src"), F.lit(False)).alias("chg"),
+        )
+    )
+    start_step = 0
+    if resume:
+        resumed, last = _resume_state(ckpt, spark, STATE_COLS)
+        if resumed is not None:
+            state, start_step = resumed, last
+
+    for step in range(start_step, max_iter):
+        t0 = time.monotonic()
+        frontier = state.where(F.col("chg")).select("vid", "dist")
+        msgs = (
+            e.join(frontier.hint("SHUFFLE_HASH"), e.src == frontier.vid)
+            .select(F.col("dst").alias("vid"), (F.col("dist") + 1).alias("dist"))
+        )
+        merged = (
+            state.select("vid", "dist")
+            .unionByName(msgs)
+            .groupBy("vid")
+            .agg(F.min("dist").alias("ndist"))
+        )
+        old = state.select("vid", F.col("dist").alias("odist"))
+        new_state = merged.join(old.hint("SHUFFLE_HASH"), "vid").select(
+            "vid",
+            F.col("ndist").alias("dist"),
+            # a vid absent from the resumed state cannot occur (state
+            # spans all vertices), but coalesce guards the flag anyway
+            # (round-2 ADVICE on frontier null-chg drops)
+            F.coalesce(F.col("ndist") < F.col("odist"), F.lit(True)).alias("chg"),
+        )
+        obs = Observation(f"bfs_step_{step + 1}")
+        observed = new_state.observe(
+            obs, F.sum(F.col("chg").cast("long")).alias("changed")
+        )
+        written = ckpt.write(observed, step + 1)
+        changed = int(obs.get["changed"] or 0)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        _annotate(ckpt, step + 1, changed, wall_ms)
+        state = written
+        if changed == 0:
+            break
+
+    out = state.where(F.col("dist") < INF).select("vid", "dist")
+    e.unpersist()
+    verts.unpersist()
+    return out
+
+
+def _annotate(ckpt: CheckpointManager, step: int, changed: int, wall_ms: int) -> None:
+    import json
+    import os
+
+    p = ckpt.manifest_path(step)
+    with open(p) as fh:
+        m = json.load(fh)
+    m["metrics"] = {"changed": changed}
+    m["wall_ms"] = wall_ms
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+    os.rename(tmp, p)

@@ -1,0 +1,103 @@
+"""Multi-source BFS distances: exact (integer hop counts) vs
+networkx single-source BFS folded over the source set."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_processing_spark.graph.bfs import bfs_distances
+from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+
+@pytest.fixture(scope="module")
+def agg_edges(spark, tiny_dir):
+    edges, _ = derive_edges(spark.read.parquet(tiny_dir))
+    agg = aggregate_edges(edges).cache()
+    agg.count()
+    return agg
+
+
+@pytest.fixture(scope="module")
+def agg_pdf(agg_edges):
+    return agg_edges.toPandas()
+
+
+def _sources(agg_pdf) -> list[int]:
+    vids = sorted(set(agg_pdf["src"].tolist()) | set(agg_pdf["dst"].tolist()))
+    return [vids[0], vids[len(vids) // 2], vids[-1]]
+
+
+def _nx_multi_bfs(g, sources) -> dict[int, int]:
+    out: dict[int, int] = {}
+    for s in sources:
+        if s not in g:
+            continue
+        for v, d in nx.single_source_shortest_path_length(g, s).items():
+            if v not in out or d < out[v]:
+                out[v] = d
+    return out
+
+
+def test_bfs_undirected_exact(spark, agg_edges, agg_pdf, tmp_path):
+    srcs = _sources(agg_pdf)
+    g = nx.Graph()
+    for r in agg_pdf.itertuples():
+        if r.src != r.dst:
+            g.add_edge(r.src, r.dst)
+    want = _nx_multi_bfs(g, srcs)
+
+    src_df = spark.createDataFrame([(v,) for v in srcs], "vid long")
+    got = {
+        r.vid: r.dist
+        for r in bfs_distances(
+            spark, agg_edges, src_df, num_partitions=8,
+            ckpt_dir=str(tmp_path / "bfs"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bfs_directed_exact(spark, agg_edges, agg_pdf, tmp_path):
+    srcs = _sources(agg_pdf)[:1]
+    g = nx.DiGraph()
+    for r in agg_pdf.itertuples():
+        if r.src != r.dst:
+            g.add_edge(r.src, r.dst)
+    want = _nx_multi_bfs(g, srcs)
+    # directed view keeps self-loop-free edges as-is; isolated check:
+    src_df = spark.createDataFrame([(v,) for v in srcs], "vid long")
+    got = {
+        r.vid: r.dist
+        for r in bfs_distances(
+            spark, agg_edges.where(F.col("src") != F.col("dst")),
+            src_df, num_partitions=8, directed=True,
+            ckpt_dir=str(tmp_path / "bfs_dir"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bfs_resume_equivalence(spark, agg_edges, agg_pdf, tmp_path):
+    srcs = _sources(agg_pdf)[:1]
+    src_df = spark.createDataFrame([(v,) for v in srcs], "vid long")
+    full = {
+        r.vid: r.dist
+        for r in bfs_distances(
+            spark, agg_edges, src_df, num_partitions=8,
+            ckpt_dir=str(tmp_path / "full"),
+        ).collect()
+    }
+    part_dir = str(tmp_path / "part")
+    bfs_distances(
+        spark, agg_edges, src_df, num_partitions=8,
+        ckpt_dir=part_dir, max_iter=2,
+    )  # "killed" after 2 supersteps
+    resumed = {
+        r.vid: r.dist
+        for r in bfs_distances(
+            spark, agg_edges, src_df, num_partitions=8, ckpt_dir=part_dir
+        ).collect()
+    }
+    assert resumed == full

@@ -1,0 +1,80 @@
+"""Link prediction scores: exact pair-set + allclose score parity vs
+networkx jaccard_coefficient / adamic_adar_index (pure python)."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_processing_spark.graph.linkpred import link_prediction_scores
+from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+
+@pytest.fixture(scope="module")
+def agg_edges(spark, tiny_dir):
+    edges, _ = derive_edges(spark.read.parquet(tiny_dir))
+    agg = aggregate_edges(edges).cache()
+    agg.count()
+    return agg
+
+
+@pytest.fixture(scope="module")
+def nx_graph(agg_edges):
+    g = nx.Graph()
+    for r in agg_edges.toPandas().itertuples():
+        if r.src != r.dst:
+            g.add_edge(r.src, r.dst)
+    return g
+
+
+def _nx_candidates(g) -> set[tuple[int, int]]:
+    """All non-adjacent pairs with >= 1 common neighbor, a < b."""
+    out = set()
+    for z in g:
+        nbrs = sorted(g[z])
+        for i, a in enumerate(nbrs):
+            for b in nbrs[i + 1 :]:
+                if not g.has_edge(a, b):
+                    out.add((a, b))
+    return out
+
+
+def test_linkpred_matches_networkx(spark, agg_edges, nx_graph):
+    scores, stats = link_prediction_scores(spark, agg_edges)
+    assert stats["hubs_dropped"] == 0
+    rows = {(r.a, r.b): r for r in scores.collect()}
+
+    want_pairs = _nx_candidates(nx_graph)
+    assert set(rows.keys()) == want_pairs
+
+    ebunch = sorted(want_pairs)
+    want_j = {(a, b): j for a, b, j in nx.jaccard_coefficient(nx_graph, ebunch)}
+    want_aa = {(a, b): s for a, b, s in nx.adamic_adar_index(nx_graph, ebunch)}
+    for p in ebunch:
+        r = rows[p]
+        assert abs(r.jaccard - want_j[p]) < 1e-9, p
+        assert abs(r.adamic_adar - want_aa[p]) < 1e-9, p
+        assert r.common == len(
+            set(nx_graph[p[0]]) & set(nx_graph[p[1]])
+        )
+
+
+def test_linkpred_hub_cap(spark, agg_edges, nx_graph):
+    """Capping the wedge middle degree drops hub-mediated wedges:
+    every surviving pair's common count only counts middles under the
+    cap, and hubs_dropped reports how many middles were excluded."""
+    cap = 5
+    scores, stats = link_prediction_scores(spark, agg_edges, max_wedge_degree=cap)
+    n_hubs = sum(1 for v in nx_graph if nx_graph.degree(v) > cap)
+    assert stats["hubs_dropped"] == n_hubs
+    rows = {(r.a, r.b): r.common for r in scores.collect()}
+    for (a, b), common in list(rows.items())[:200]:
+        mids = [
+            z
+            for z in set(nx_graph[a]) & set(nx_graph[b])
+            if nx_graph.degree(z) <= cap
+        ]
+        assert common == len(mids), (a, b)
+    # capped candidates are a subset of the uncapped pair set
+    assert set(rows).issubset(_nx_candidates(nx_graph))
