@@ -119,17 +119,22 @@ class HITS:
         for step in range(start_step, max_iter):
             t0 = time.monotonic()
             h = state.select("vid", "hub")
-            # a ← Aᵀh : edges(src-partitioned) ⋈ h on src, sum by dst
+            # a ← Aᵀh : edges(src-partitioned) ⋈ h on src, sum by dst.
+            # The grouped key is renamed (dst → avid) so the next join
+            # against e_dst.dst is between DISTINCT attributes — both
+            # frames descend from the same edge scan, and a bare
+            # dst == dst would be a trivially-true self-join predicate.
             a_raw = (
                 self.e_src.join(h.hint("SHUFFLE_HASH"), self.e_src.src == h.vid)
                 .groupBy("dst")
                 .agg(F.sum(F.col("hub") * F.col("w")).alias("a_raw"))
+                .withColumnRenamed("dst", "avid")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             # h ← Aa : edges(dst-partitioned) ⋈ a on dst, sum by src
             h_raw = (
                 self.e_dst.join(
-                    a_raw.hint("SHUFFLE_HASH"), self.e_dst.dst == a_raw.dst
+                    a_raw.hint("SHUFFLE_HASH"), self.e_dst.dst == a_raw.avid
                 )
                 .groupBy("src")
                 .agg(F.sum(F.col("a_raw") * F.col("w")).alias("h_raw"))
@@ -140,7 +145,7 @@ class HITS:
                 .drop("src")
                 .join(
                     a_raw.hint("SHUFFLE_HASH"),
-                    F.col("vid") == a_raw.dst,
+                    F.col("vid") == a_raw.avid,
                     "left",
                 )
                 .select(
