@@ -66,13 +66,24 @@ def bfs_distances(
         F.count("*").alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
     ).collect()[0]
-    fp = mix_fingerprint(int(erow["n"]), erow["h"])
+
+    # The checkpoint identity is (edge set, SOURCE set): distances are a
+    # function of both, so a resume against state written for a
+    # different source set must be rejected exactly like a different
+    # graph would be (round-3 ADVICE — the edge-only fingerprint let a
+    # changed source set silently resume the old run's distances).
+    src_tag = sources.select(F.col("vid").cast("long").alias("vid")).distinct()
+    srow = src_tag.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("vid")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    fp = mix_fingerprint(
+        int(erow["n"]), int(erow["h"]) ^ int(srow["h"]) ^ int(srow["n"])
+    )
 
     ckpt = CheckpointManager(
         ckpt_dir or tempfile.mkdtemp(prefix="bfs_ckpt_"), "bfs", fingerprint=fp
     )
-
-    src_tag = sources.select(F.col("vid").cast("long").alias("vid")).distinct()
     state = (
         verts.join(src_tag.withColumn("_is_src", F.lit(True)), "vid", "left")
         .select(

@@ -184,14 +184,25 @@ class PageRank:
         ]
         if self.personalized:
             aggs.append(F.sum("_p_raw").alias("psum"))
+            # teleport-vector hash: folded into the SAME setup aggregate
+            # (no extra job) and mixed into the checkpoint fingerprint
+            # below — a PPR fixpoint is a function of (graph, teleport
+            # vector), so resuming a ckpt_dir written with a different
+            # vector must be rejected, not silently converged to the OLD
+            # vector's fixpoint (round-3 ADVICE).
+            aggs.append(
+                F.coalesce(F.bit_xor(F.xxhash64("vid", "_p_raw")), F.lit(0)).alias("ph")
+            )
         counts = self.vertices.agg(*aggs).collect()[0]
         self.V, self.D = int(counts["v"]), int(counts["d"] or 0)
+        self._pfp = 0
         if self.personalized:
             self.psum = float(counts["psum"] or 0.0)
             if self.psum <= 0:
                 raise ValueError(
                     "personalization weights sum to zero over the graph's vertices"
                 )
+            self._pfp = int(counts["ph"])
 
         out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
         enorm = (
@@ -222,7 +233,8 @@ class PageRank:
             F.coalesce(F.bit_xor(F.xxhash64("src", "dst", "w_norm")), F.lit(0)).alias("h"),
         ).collect()[0]
         self.E = int(erow["n"])
-        self.fingerprint = mix_fingerprint(self.E, erow["h"])
+        # identity = edge set ⊕ (personalization vector, when set)
+        self.fingerprint = mix_fingerprint(self.E, int(erow["h"]) ^ self._pfp)
 
     # ---- one superstep ----------------------------------------------
     def _messages(self, state: DataFrame) -> DataFrame:

@@ -89,19 +89,23 @@ def fit_centroids(
     same driver-scalar pattern as the PageRank L1 delta). Stops when
     the max centroid movement (L2) drops below ``tol``."""
     src = valid_vec_rows(embeddings, id_col, vec_col)
+    # Seed query filters unusable rows (wrong dim, zero norm) IN the
+    # query, so the limit counts only usable seeds — a fixed-headroom
+    # limit raised a spurious "not enough valid vectors" whenever more
+    # than ~a third of the smallest-hash rows were unusable even though
+    # the corpus had plenty (round-3 ADVICE). For an all-usable corpus
+    # the selected seeds are identical (the filter preserves hash
+    # order).
+    usable = src.where(
+        (F.size("vec") == dim) & F.exists("vec", lambda x: x != F.lit(0.0))
+    )
     seeds = (
-        src.select(F.xxhash64(F.col("id")).alias("h"), "id", "vec")
+        usable.select(F.xxhash64(F.col("id")).alias("h"), "id", "vec")
         .orderBy("h", "id")
-        .limit(int(n_cells * 1.5) + 4)  # headroom: some may be zero-norm
+        .limit(n_cells)
         .collect()
     )
-    seed_vecs = []
-    for r in seeds:
-        v = np.asarray(r["vec"], dtype=np.float64)
-        if v.shape[0] == dim and np.any(v != 0.0):
-            seed_vecs.append(v)
-        if len(seed_vecs) == n_cells:
-            break
+    seed_vecs = [np.asarray(r["vec"], dtype=np.float64) for r in seeds]
     if len(seed_vecs) < n_cells:
         raise ValueError(
             f"not enough valid vectors ({len(seed_vecs)}) for n_cells={n_cells}"

@@ -12,13 +12,17 @@ so selective scans skip whole row groups (data skipping — the poor
 man's z-order for a single sort dimension).
 
 Atomicity: the rewrite lands in a sibling temp directory and swaps in
-via two ``os.rename`` calls (old → trash, new → path), which is atomic
-on a local/POSIX filesystem; on object stores this seam is where
-Iceberg's snapshot commit takes over (same argument as
-``ParquetTableIO``'s manifest rename). The original directory is
-retained as ``<path>.compact-trash`` until the caller deletes it —
-crash-safe: at every instant either the old or the new directory is
-live at ``path``.
+via two ``os.rename`` calls (old → trash, new → path). Each rename is
+atomic on a local/POSIX filesystem, but the PAIR is not: between the
+two renames nothing is live at ``path``. Crash recovery is therefore
+explicit — the data is intact in ``<path>.compact-trash``, and the
+next ``compact_parquet`` call detects the orphaned-trash + missing-
+path state and restores the original before doing anything else (a
+caller can also restore by hand with one ``mv``). The original
+directory is retained as ``<path>.compact-trash`` until the next
+successful compaction (or the caller) deletes it. On object stores
+this whole seam is where Iceberg's snapshot commit takes over (same
+argument as ``ParquetTableIO``'s manifest rename).
 """
 
 from __future__ import annotations
@@ -67,6 +71,18 @@ def compact_parquet(
     Returns {files_before, files_after, bytes, rows} — rows is
     re-counted from the rewritten directory (cheap metadata count) and
     compared against the input as a guard before the swap."""
+    live = path.rstrip("/")
+    tmp = live + ".compact-tmp"
+    trash = live + ".compact-trash"
+    # Crash recovery (round-3 ADVICE): a previous run that died between
+    # its two swap renames left NOTHING live at ``path`` with the
+    # original parked in trash. Detect that orphaned state and restore
+    # the original before compacting — without this, the data would sit
+    # invisible in trash and the read below would fail on a missing
+    # path.
+    if not os.path.exists(live) and os.path.exists(trash):
+        os.rename(trash, live)
+
     files_before = parquet_file_count(path)
     total_bytes = _dir_bytes(path)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
@@ -77,10 +93,7 @@ def compact_parquet(
     if sort_cols:
         out = out.sortWithinPartitions(*[F.col(c) for c in sort_cols])
 
-    tmp = path.rstrip("/") + ".compact-tmp"
-    trash = path.rstrip("/") + ".compact-trash"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(trash, ignore_errors=True)
     out.write.mode("overwrite").parquet(tmp)
 
     rows_after = spark.read.parquet(tmp).count()
@@ -90,8 +103,12 @@ def compact_parquet(
             f"compaction row-count mismatch ({rows_before} -> {rows_after}); "
             f"original left untouched at {path}"
         )
-    os.rename(path.rstrip("/"), trash)   # atomic on POSIX
-    os.rename(tmp, path.rstrip("/"))
+    # drop the PREVIOUS run's retained trash only now, once this run's
+    # replacement is validated and about to swap in — a failed run must
+    # never have destroyed the last good backup.
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(live, trash)   # atomic on POSIX
+    os.rename(tmp, live)     # …but the pair is not: see module docstring
     if not keep_trash:
         shutil.rmtree(trash, ignore_errors=True)
     return {

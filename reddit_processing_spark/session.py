@@ -33,6 +33,22 @@ def _scratch_dir() -> str:
     return "/tmp"
 
 
+def _default_shuffle_partitions(master: str | None) -> int | None:
+    """2× the local core count for ``local[...]`` masters; None (leave
+    unset) otherwise. The driver's cpu count says NOTHING about a real
+    cluster's width — deriving a default from it for an explicit
+    ``spark://``/``yarn``/``k8s`` master would pin every wide stage on
+    a 400-core cluster to ~16 tasks (AQE coalesces down, never up), so
+    cluster masters get no default here (round-3 ADVICE: the guard must
+    cover the explicit-master path, not just spark-submit)."""
+    if master is None or not master.startswith("local"):
+        return None
+    n = os.cpu_count() or 8
+    if master.startswith("local[") and master.endswith("]") and master[6:-1].isdigit():
+        n = int(master[6:-1])
+    return max(8, 2 * n)
+
+
 def get_spark(
     app_name: str = "reddit_processing_spark",
     master: str | None = None,
@@ -66,17 +82,11 @@ def get_spark(
     if master is None and not under_submit:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
-    if shuffle_partitions is None and master is not None:
-        # local default: 2x cores. When the launcher owns the master
-        # (spark-submit, master None), DON'T derive a default from the
-        # DRIVER's cpu count — on a 400-core cluster that would pin
-        # every wide stage to ~16 tasks (AQE coalesces down, never up).
-        # The launcher/cluster config or the job's --partitions flag
-        # sizes it there.
-        n = os.cpu_count() or 8
-        if master.startswith("local[") and master[6:-1].isdigit():
-            n = int(master[6:-1])
-        shuffle_partitions = max(8, 2 * n)
+    if shuffle_partitions is None:
+        # local masters only — launcher-owned (spark-submit) AND
+        # explicit cluster masters both leave it unset; see
+        # _default_shuffle_partitions.
+        shuffle_partitions = _default_shuffle_partitions(master)
 
     builder = SparkSession.builder
     if master is not None:

@@ -101,3 +101,32 @@ def test_bfs_resume_equivalence(spark, agg_edges, agg_pdf, tmp_path):
         ).collect()
     }
     assert resumed == full
+
+
+def test_bfs_changed_sources_reject_stale_checkpoint(spark, agg_edges, agg_pdf, tmp_path):
+    """The checkpoint identity covers the SOURCE set, not just the edge
+    set: resuming a ckpt_dir written for a different source set must
+    restart from superstep 0 and return the NEW sources' distances
+    (round-3 ADVICE — edge-only fingerprint silently resumed the old
+    run's state)."""
+    srcs = _sources(agg_pdf)
+    src_a = spark.createDataFrame([(srcs[0],)], "vid long")
+    src_b = spark.createDataFrame([(srcs[-1],)], "vid long")
+    shared = str(tmp_path / "shared")
+
+    bfs_distances(spark, agg_edges, src_a, num_partitions=8, ckpt_dir=shared)
+    with pytest.warns(UserWarning, match="DIFFERENT input graph"):
+        got_b = {
+            r.vid: r.dist
+            for r in bfs_distances(
+                spark, agg_edges, src_b, num_partitions=8, ckpt_dir=shared
+            ).collect()
+        }
+    fresh_b = {
+        r.vid: r.dist
+        for r in bfs_distances(
+            spark, agg_edges, src_b, num_partitions=8,
+            ckpt_dir=str(tmp_path / "fresh"),
+        ).collect()
+    }
+    assert got_b == fresh_b

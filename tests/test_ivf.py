@@ -168,3 +168,24 @@ def test_ivf_index_build_search_and_pruning(spark, clustered, tmp_path):
     all_files = set(spark.read.parquet(f"{path}/cells").inputFiles())
     assert 0 < len(touched) < len(all_files)
     assert all(any(f"cell={c}/" in f for c in probed) for f in touched)
+
+
+def test_fit_centroids_tolerates_mostly_invalid_corpus(spark, clustered):
+    """Seed selection filters zero-norm / wrong-dim rows IN the query,
+    so a corpus that is 80% unusable still trains: the old fixed
+    1.5×n_cells headroom raised a spurious 'not enough valid vectors'
+    whenever too many of the smallest-hash rows were unusable
+    (round-3 ADVICE)."""
+    junk = []
+    for i in range(600, 3000):
+        if i % 2 == 0:
+            junk.append((i, [0.0] * DIM))       # zero-norm
+        else:
+            junk.append((i, [1.0] * (DIM // 2)))  # wrong dim
+    junk_df = spark.createDataFrame(
+        pd.DataFrame(junk, columns=["vec_id", "embedding"])
+    )
+    corpus = clustered.unionByName(junk_df)
+    C = fit_centroids(corpus, n_cells=12, dim=DIM, max_iter=4)
+    assert C.shape == (12, DIM)
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)

@@ -78,3 +78,28 @@ def test_compact_sort_for_skipping(spark, fragmented):
     # data intact and fully sorted within the single file
     keys = [r["o_orderkey"] for r in df.select("o_orderkey").collect()]
     assert keys == sorted(keys)
+
+
+def test_compact_crash_window_recovery(spark, fragmented):
+    """A crash between the two swap renames leaves nothing live at
+    ``path`` with the original parked in ``.compact-trash``; the next
+    compact_parquet call must restore it and complete normally
+    (round-3 ADVICE: the two-rename pair is not atomic)."""
+    before = spark.read.parquet(fragmented)
+    rows_before = before.count()
+    fp_before = before.agg(
+        F.bit_xor(F.xxhash64(*sorted(before.columns))).alias("h")
+    ).collect()[0]["h"]
+
+    # simulate the crash window: old→trash happened, tmp→path did not
+    os.rename(fragmented, fragmented + ".compact-trash")
+    assert not os.path.exists(fragmented)
+
+    stats = compact_parquet(spark, fragmented, target_file_bytes=1 << 30)
+    assert stats["rows"] == rows_before
+    after = spark.read.parquet(fragmented)
+    fp_after = after.agg(
+        F.bit_xor(F.xxhash64(*sorted(after.columns))).alias("h")
+    ).collect()[0]["h"]
+    assert fp_after == fp_before
+    assert parquet_file_count(fragmented) == 1

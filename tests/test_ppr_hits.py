@@ -132,3 +132,44 @@ def test_hits_resume_equivalence(spark, agg_edges, tmp_path):
     finally:
         h1.unpersist()
     assert resumed == full
+
+
+def test_ppr_changed_teleport_rejects_stale_checkpoint(spark, agg_edges, agg_pdf, tmp_path):
+    """A PPR fixpoint is a function of (graph, teleport vector): the
+    fingerprint mixes the vector in, so resuming a ckpt_dir written
+    with a DIFFERENT teleport vector restarts from superstep 0 instead
+    of converging to the old vector's fixpoint (round-3 ADVICE)."""
+    pers_a = _pers_weights(agg_pdf)
+    pers_b = {v: w * (1.0 + (v % 5)) for v, w in pers_a.items()}
+    pdf_a = spark.createDataFrame(
+        [(v, w) for v, w in pers_a.items()], "vid long, p double"
+    )
+    pdf_b = spark.createDataFrame(
+        [(v, w) for v, w in pers_b.items()], "vid long, p double"
+    )
+    shared = str(tmp_path / "shared")
+
+    pr_a = PageRank(
+        spark, agg_edges, num_partitions=8, kernel="sql", personalization=pdf_a
+    )
+    try:
+        pr_a.run(d=0.85, tol=1e-8, max_iter=200, ckpt_dir=shared)
+    finally:
+        pr_a.unpersist()
+
+    pr_b = PageRank(
+        spark, agg_edges, num_partitions=8, kernel="sql", personalization=pdf_b
+    )
+    try:
+        with pytest.warns(UserWarning, match="DIFFERENT input graph"):
+            got = {
+                r.vid: r.rank
+                for r in pr_b.run(
+                    d=0.85, tol=1e-8, max_iter=200, ckpt_dir=shared
+                ).collect()
+            }
+    finally:
+        pr_b.unpersist()
+
+    want = opr(agg_pdf, alpha=0.85, tol=1e-12, personalization=pers_b)
+    assert max(abs(got[v] - want[v]) for v in want) < 1e-5
