@@ -23,11 +23,26 @@ wide rows:
 4. new est = least(old, h) (monotone guard), changed-count folded
    into the checkpoint write via Observation (no extra job).
 
-Dense schedule: the h-index needs the FULL neighborhood histogram, so
-unlike hash-min CC there is no sound frontier-delta without caching
-per-vertex histograms between supersteps; message volume is |E| per
-round. Rounds to converge are small in practice (≈ a few × the
-distance from degrees to cores; 3-6 on the test tiers).
+Scheduling: the h-index needs the FULL neighborhood histogram, so
+incremental MESSAGES are unsound (you can't update an h-index from
+deltas alone) — but AFFECTED-SET scheduling is sound, the same
+argument LPA uses (graph/lpa.py): a vertex whose neighbors' estimates
+all kept their value has an unchanged histogram, hence an unchanged
+h, and since ``est = least(old, h)`` its estimate provably keeps its
+value too. Each round therefore recomputes ONLY vertices with ≥ 1
+changed neighbor, sending them ALL their neighbors' estimates (two
+semi-joins restrict the persisted edge set; the changed side shrinks
+fast, so AQE turns those semi-joins into broadcast probes of the
+persisted partitions — no |E| shuffle). Everyone else keeps their
+estimate with no message at all. ``frontier=False`` restores the
+dense schedule; frontier ≡ dense equality is asserted in tests.
+
+Convergence can need many rounds on hub-heavy graphs (the bench tier
+measured 86 — estimates ripple down one h-step at a time), which is
+exactly why the dense schedule's |E|-messages-per-round was the most
+expensive thing in the round-3 bench and the affected-set schedule
+matters: per-round message volume tracks the active rim
+(``msg_rows`` in the manifests), not |E|.
 
 Oracle: exact match vs ``networkx.core_number`` in tests.
 """
@@ -53,6 +68,7 @@ def core_numbers(
     ckpt_dir: str | None = None,
     num_partitions: int | None = None,
     resume: bool = True,
+    frontier: bool = True,
 ) -> DataFrame:
     """Returns (vid, core) — the core number of every vertex of the
     undirected simple graph underlying ``edges``."""
@@ -85,8 +101,24 @@ def core_numbers(
     changed = 0
     for step in range(start, max_iter):
         t0 = time.monotonic()
-        msgs = sym.join(est, sym.dst == est.vid).select(
-            sym.src.alias("vid"), F.col("est").alias("nest")
+        if frontier:
+            # affected set = vertices with ≥1 neighbor whose estimate
+            # changed last round; recompute them from ALL their
+            # incident edges (full histogram — incremental messages
+            # would be unsound), keep everyone else's estimate. Sound
+            # by the LPA argument: an unchanged neighborhood multiset
+            # ⇒ unchanged h ⇒ least(old, h) = old.
+            changed_vids = est.filter("chg").select("vid")
+            affected = (
+                sym.join(changed_vids, sym.dst == changed_vids.vid, "left_semi")
+                .select(F.col("src").alias("vid"))
+                .distinct()
+            )
+            edges_in = sym.join(affected, sym.src == affected.vid, "left_semi")
+        else:
+            edges_in = sym
+        msgs = edges_in.join(est, edges_in.dst == est.vid).select(
+            edges_in.src.alias("vid"), F.col("est").alias("nest")
         )
         obs_m = Observation(f"kcore_msgs_{step + 1}")
         msgs = msgs.observe(obs_m, F.count("*").alias("msg_rows"))
@@ -98,11 +130,15 @@ def core_numbers(
         )
         new = (
             est.select("vid", F.col("est").alias("oest"))
-            .join(hvals, "vid")  # every vertex has ≥1 neighbor in sym
+            # left: unaffected vertices get no h row this round and
+            # provably keep their estimate (dense mode: h never null —
+            # every vertex has ≥1 neighbor in sym, so this reduces to
+            # the inner join it used to be)
+            .join(hvals, "vid", "left")
             .select(
                 "vid",
-                F.least(F.col("oest"), F.col("h")).alias("est"),
-                (F.least(F.col("oest"), F.col("h")) != F.col("oest")).alias("chg"),
+                F.least(F.col("oest"), F.coalesce("h", F.col("oest"))).alias("est"),
+                (F.coalesce("h", F.col("oest")) < F.col("oest")).alias("chg"),
             )
         )
         obs = Observation(f"kcore_step_{step + 1}")

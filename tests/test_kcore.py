@@ -113,3 +113,50 @@ def test_kcore_resume_equivalence(spark, agg_edges, tmp_path):
         ).collect()
     }
     assert resumed == full
+
+
+def test_kcore_frontier_equals_dense_per_superstep(spark, agg_edges, tmp_path):
+    """The affected-set schedule is EXACT, not approximate: every
+    superstep's full estimate table is bit-identical to the dense
+    schedule's (the LPA soundness argument), and the frontier run's
+    per-round message volume shrinks to the active rim while dense
+    stays at |E|."""
+    import glob
+    import json
+    import os
+
+    dd, fd = str(tmp_path / "dense"), str(tmp_path / "front")
+    dense = {
+        r.vid: r.core
+        for r in core_numbers(
+            spark, agg_edges, ckpt_dir=dd, num_partitions=8, frontier=False
+        ).collect()
+    }
+    front = {
+        r.vid: r.core
+        for r in core_numbers(
+            spark, agg_edges, ckpt_dir=fd, num_partitions=8, frontier=True
+        ).collect()
+    }
+    assert front == dense
+
+    d_steps = sorted(glob.glob(os.path.join(dd, "kcore", "step=*")))
+    f_steps = sorted(glob.glob(os.path.join(fd, "kcore", "step=*")))
+    assert len(d_steps) == len(f_steps) >= 2
+    for ds, fs in zip(d_steps, f_steps):
+        a = {r.vid: (r.est, r.chg) for r in spark.read.parquet(ds).collect()}
+        b = {r.vid: (r.est, r.chg) for r in spark.read.parquet(fs).collect()}
+        assert a == b, f"state diverged at {os.path.basename(ds)}"
+
+    def msg_rows(d):
+        out = []
+        for p in sorted(glob.glob(os.path.join(d, "kcore", "manifest_*.json"))):
+            with open(p) as fh:
+                out.append(json.load(fh)["metrics"]["msg_rows"])
+        return out
+
+    dm, fm = msg_rows(dd), msg_rows(fd)
+    assert all(x == dm[0] for x in dm)       # dense: |E| every round
+    assert fm[0] == dm[0]                    # round 1: everyone changed
+    assert fm[-1] < dm[-1]                   # converged rim << |E|
+    assert sum(fm) < sum(dm)
