@@ -889,17 +889,19 @@ FROM tri
 """
 
 
-def _linkpred_cooccurrence(spark, sf):
-    """Link prediction (common-neighbors / Jaccard / Adamic-Adar) on
-    the part co-occurrence graph — top-20 predicted links by
-    Adamic-Adar with a (score, a, b) total-order tie-break, verified
-    hash-exact against an independent DuckDB wedge-join formulation.
-    networkx parity on the transcript graph lives in
-    tests/test_linkpred.py."""
-    from reddit_processing_spark.graph.linkpred import link_prediction_scores
+# Hub guard cap for the capped link-prediction leg: on the part
+# co-occurrence graph this drops the top-degree middles (sf0.01: 1091
+# of 2000 vertices, wedge work 27.8M → 8.5M; sf0.1: 12025 of 20000,
+# 298M → 75M) while leaving a non-trivial capped result — the degree
+# threshold the operator's scale defense (graph/linkpred.py
+# max_wedge_degree) is exercised end-to-end with.
+LINKPRED_CAP = 112
 
+
+def _linkpred_pairs(spark, sf):
+    """Part co-occurrence edge table (shared by both linkpred legs)."""
     li = _t(spark, sf, "lineitem")
-    pairs = (
+    return (
         li.alias("a")
         .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
@@ -909,7 +911,12 @@ def _linkpred_cooccurrence(spark, sf):
         .distinct()
         .withColumn("w", F.lit(1.0))
     )
-    scores, _ = link_prediction_scores(spark, pairs)
+
+
+def _linkpred_top20(spark, pairs, cap=None):
+    from reddit_processing_spark.graph.linkpred import link_prediction_scores
+
+    scores, _ = link_prediction_scores(spark, pairs, max_wedge_degree=cap)
     return (
         scores.select(
             "a",
@@ -923,7 +930,39 @@ def _linkpred_cooccurrence(spark, sf):
     )
 
 
-_LINKPRED_SQL = """
+def _linkpred_uncapped(spark, sf):
+    """Bench identity: the round-3 uncapped top-20 (unchanged work)."""
+    return _linkpred_top20(spark, _linkpred_pairs(spark, sf))
+
+
+def _linkpred_capped(spark, sf):
+    """Bench identity: the hub-guarded top-20 — wedges only through
+    middles with deg ≤ LINKPRED_CAP (graph/linkpred.py's scale defense
+    for Σ deg(z)² wedge work, exercised end-to-end per round-3
+    VERDICT)."""
+    return _linkpred_top20(spark, _linkpred_pairs(spark, sf), cap=LINKPRED_CAP)
+
+
+def _linkpred_cooccurrence(spark, sf):
+    """Link prediction (common-neighbors / Jaccard / Adamic-Adar) on
+    the part co-occurrence graph, two legs UNION ALL'd: 'uncapped' =
+    top-20 by Adamic-Adar with a (score, a, b) total-order tie-break;
+    'capped_112' = the same with the max_wedge_degree hub guard, so the
+    guarded path is hash-verified against the identical degree cap in
+    the DuckDB oracle. networkx parity on the transcript graph lives in
+    tests/test_linkpred.py."""
+    return (
+        _linkpred_uncapped(spark, sf)
+        .select(F.lit("uncapped").alias("leg"), "*")
+        .unionByName(
+            _linkpred_capped(spark, sf)
+            .select(F.lit(f"capped_{LINKPRED_CAP}").alias("leg"), "*")
+        )
+        .orderBy("leg", F.desc("adamic_adar"), F.asc("a"), F.asc("b"))
+    )
+
+
+_LINKPRED_SQL = f"""
 WITH e0 AS (
   SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
@@ -939,17 +978,38 @@ scored AS (
          sum(1.0 / ln(CAST(dz.deg AS DOUBLE))) AS aa
   FROM wedge JOIN deg dz ON wedge.z = dz.v
   GROUP BY a, b),
+scored_cap AS (
+  SELECT a, b, count(*) AS common,
+         sum(1.0 / ln(CAST(dz.deg AS DOUBLE))) AS aa
+  FROM wedge JOIN deg dz ON wedge.z = dz.v
+  WHERE dz.deg <= {LINKPRED_CAP}
+  GROUP BY a, b),
 cand AS (
   SELECT s.* FROM scored s
-  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = s.a AND e.d = s.b))
-SELECT c.a, c.b, CAST(c.common AS BIGINT) AS common,
-       round(c.common / CAST(da.deg + db.deg - c.common AS DOUBLE), 6) AS jaccard,
-       round(c.aa, 6) AS adamic_adar
-FROM cand c
-JOIN deg da ON c.a = da.v
-JOIN deg db ON c.b = db.v
-ORDER BY round(c.aa, 6) DESC, c.a, c.b
-LIMIT 20
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = s.a AND e.d = s.b)),
+cand_cap AS (
+  SELECT s.* FROM scored_cap s
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = s.a AND e.d = s.b)),
+leg1 AS (
+  SELECT 'uncapped' AS leg, c.a, c.b, CAST(c.common AS BIGINT) AS common,
+         round(c.common / CAST(da.deg + db.deg - c.common AS DOUBLE), 6) AS jaccard,
+         round(c.aa, 6) AS adamic_adar
+  FROM cand c
+  JOIN deg da ON c.a = da.v
+  JOIN deg db ON c.b = db.v
+  ORDER BY round(c.aa, 6) DESC, c.a, c.b
+  LIMIT 20),
+leg2 AS (
+  SELECT 'capped_{LINKPRED_CAP}' AS leg, c.a, c.b, CAST(c.common AS BIGINT) AS common,
+         round(c.common / CAST(da.deg + db.deg - c.common AS DOUBLE), 6) AS jaccard,
+         round(c.aa, 6) AS adamic_adar
+  FROM cand_cap c
+  JOIN deg da ON c.a = da.v
+  JOIN deg db ON c.b = db.v
+  ORDER BY round(c.aa, 6) DESC, c.a, c.b
+  LIMIT 20)
+SELECT * FROM (SELECT * FROM leg1 UNION ALL SELECT * FROM leg2)
+ORDER BY leg, adamic_adar DESC, a, b
 """
 
 
@@ -2439,12 +2499,36 @@ def _dedup_sketch_pairs(spark, sf):
     return mh.unionByName(sh).orderBy("method", "id_a", "id_b")
 
 
+def _ann_ivf_batch(spark, sf):
+    """IVF batch-join search over an on-disk index (operators/ivf.py
+    search_ivf_index_batch): the 10⁹-query scale path — no driver
+    collect of probe rows, no broadcast of the query side (round-3
+    VERDICT #4). Index built fresh at a temp path with the same
+    deterministic centroids as _ann_ivf, so this leg's rows equal the
+    in-memory ivf_topk leg's; exact parity with the serving path plus
+    the broadcast-free plan assert live in tests/test_ivf.py."""
+    from reddit_processing_spark.operators.ivf import (
+        build_ivf_index,
+        search_ivf_index_batch,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    path = tempfile.mkdtemp(prefix="drv_ivf_idx_")
+    build_ivf_index(e, path, n_cells=8, dim=64)
+    return search_ivf_index_batch(spark, path, q, k=5, nprobe=4).select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim"), "rk"
+    ).orderBy("query_id", "rk")
+
+
 def _ann_lsh_suite(spark, sf):
     """N2+D5+N3 ANN family in one entry: LSH approximate cosine top-k
     (family='topk'), LSH-blocked embedding near-dup pairs
-    (family='near_dup'), and IVF coarse-quantizer top-k
-    (family='ivf_topk'); recall vs the exact baselines is measured in
-    tests (test_dedup_similarity.py, test_ivf.py)."""
+    (family='near_dup'), IVF coarse-quantizer top-k (family='ivf_topk'),
+    and the distributed IVF index batch-join path (family='ivf_batch'
+    — must reproduce ivf_topk's rows, see _ann_ivf_batch); recall vs
+    the exact baselines is measured in tests (test_dedup_similarity.py,
+    test_ivf.py)."""
     topk = _ann_lsh(spark, sf).select(
         F.lit("topk").alias("family"),
         F.col("query_id").alias("id_a"),
@@ -2461,7 +2545,13 @@ def _ann_lsh_suite(spark, sf):
         F.col("vec_id").alias("id_b"),
         F.col("sim").alias("score"),
     )
-    return topk.unionByName(nd).unionByName(ivf).orderBy(
+    ivfb = _ann_ivf_batch(spark, sf).select(
+        F.lit("ivf_batch").alias("family"),
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("sim").alias("score"),
+    )
+    return topk.unionByName(nd).unionByName(ivf).unionByName(ivfb).orderBy(
         "family", "id_a", "id_b"
     )
 
@@ -2523,8 +2613,72 @@ def _stream_window_counts_both(spark, sf):
     return tumb.unionByName(sess).unionByName(rj).orderBy("kind", "conv_id")
 
 
+# ===================================================================
+# FAMILY MEMBERSHIP MAP (round-3 VERDICT #6): the registry is capped at
+# exactly 50 entries (driver truncation guard), so every SURVEY.md §2
+# row must live inside one of them. New operators MERGE into their
+# family's entry (add a leg/family column + UNION ALL, extend the
+# oracle identically) — never append a 51st key. Map (§2 row → entry):
+#
+#   S1/S2 text scan+roundtrip ......... scan_text_roundtrip (csv+ndjson legs)
+#   S3 parquet+manifest/Iceberg ....... every entry reads through tableio
+#   S4 bucketed sink .................. split_bucket_invariants
+#   S5 per-entity sink ................ merge_entity_sink (merged+order legs)
+#   S6/S7 checkpoint+metrics .......... graph_* entries (resume in tests)
+#   P1-P4 project/filter/derive/null .. q1/q3/q5 + join_outer_suite
+#   J1/J2 hash/broadcast join ......... q3_top_orders, q5_region_revenue
+#   J3 iterative rank⋈edges ........... graph_rank_suite
+#   J4/J5 anti/semi ................... join_anti_no_orders, join_semi_high_qty
+#   J6 wedge join ..................... tri_part_cooccurrence
+#   J7 full outer ..................... join_outer_suite
+#   J8 as-of/range .................... asof_purchase_last_click,
+#                                       join_range_quantity_buckets
+#   A1-A4 hash aggs ................... q1 + agg_distinct_per_supplier
+#   A5 mode/argmax .................... graph_lpa_sizes
+#   A6 collect_list/sort_array ........ merge_entity_sink
+#   A7/A9 convergence/dangling aggs ... graph_rank_suite (Observation-folded)
+#   A8 cube/rollup/gsets .............. agg_multidim_grouping (3 legs)
+#   A10 stats + percentiles ........... stats_agg_lineitem, percentiles_by_segment
+#   W1-W4 windows ..................... window_lag_order_gaps, dedup_first_order_
+#                                       per_customer, window_rank_ntile,
+#                                       window_running_revenue, window_topk_per_customer
+#   O1-O3 sorts/topk .................. merge_entity_sink, topk_global_lineitems
+#   U1-U3 union/distinct/set ops ...... edge_role_pairs, set_ops_custkeys
+#   §2.8 string/hash/date/math/array/
+#        map/json/conditional/pivot ... string_part_functions, date_monthly_revenue,
+#                                       array_embedding_stats, map_metrics_blob,
+#                                       json_event_props, conditional_agg_events,
+#                                       pivot_lineitem_status
+#   F1/F2 grouped-map pandas/Arrow .... graph_rank_suite (csr kernels)
+#   F3 scalar pandas_udf .............. sim_topk_cosine (float32 path in tests)
+#   F4 grouped-agg pandas_udf ......... grouped_agg_mad
+#   §2.10 streaming (tumbling/session/
+#        stream-stream join/state) .... stream_window_counts (3 legs),
+#                                       stream_conversation_state
+#   §2.11 derive_edges ................ edge_role_pairs, reply_edges_per_user
+#   §2.11 pagerank/ppr/hits ........... graph_rank_suite (pr+ppr+hits legs)
+#   §2.11 cc hash-min + star .......... graph_cc_sizes (both legs)
+#   §2.11 lpa ......................... graph_lpa_sizes
+#   §2.11 triangles ................... tri_part_cooccurrence
+#   §2.11 bfs / k-core ................ graph_rank_suite (bfs+kcore legs)
+#   §2.11 link prediction ............. linkpred_part_cooccurrence
+#                                       (uncapped + capped_112 hub-guard legs)
+#   §2.12 D1 exact dedup .............. docs_exact_dedup
+#   §2.12 D2/D3 minhash/simhash ....... dedup_sketch_pairs (2 legs)
+#   §2.12 D4 n-gram jaccard ........... ngram_jaccard_pairs
+#   §2.12 D5 embed near-dup ........... embed_near_dup_exact + ann_lsh_suite
+#   §2.12 N1 brute topk ............... sim_topk_cosine
+#   §2.12 N2/N3 LSH/IVF ANN ........... ann_lsh_suite (topk + near_dup +
+#                                       ivf_topk + ivf_batch legs)
+#   §2.12 T1-T5 text analysis ......... docs_token_stats, docs_quality_score
+#   §2.12 sampling/splits ............. sample_splits
+#   §2.12 multimodal .................. multimodal_features
+#   compaction (maintenance) .......... tests/test_maintenance.py (no query
+#                                       surface — a sink-side rewrite)
+# ===================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator family (SURVEY.md §2)."""
+    """One entry per implemented operator family (SURVEY.md §2);
+    EXACTLY 50 keys — see the family map above before adding any."""
     return {
         # ---- flagship relational (oracle-checked) ----
         "q1_pricing_summary": _q1_pricing,
