@@ -324,6 +324,64 @@ def read_ivf_centroids(path: str) -> np.ndarray:
     return np.asarray(meta["centroids"], dtype=np.float64)
 
 
+def search_ivf_index_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed top-k against a ``build_ivf_index`` output — the
+    BATCH-JOIN variant of ``search_ivf_index`` (round-3 VERDICT #4).
+
+    The serving path collects probe rows to the driver and broadcasts
+    the query side — right for a dashboard, wrong for a 10⁹-row query
+    batch. Here NOTHING query-sized touches the driver or a broadcast:
+
+    - probe assignment is the same pure ``_cell_kernel`` mapInArrow
+      pass, kept as a DataFrame;
+    - candidate generation is an id-only SHUFFLE_HASH join on ``cell``
+      (the scan reads only (id, cell) — column pruning keeps vector
+      bytes out of the first shuffle, and candidates killed by the
+      self-match filter never carry a vector);
+    - vectors re-attach once per surviving candidate via SHUFFLE_HASH
+      joins on ``vec_id`` / ``query_id``.
+
+    Trade-off vs serving: no ``cell IN (...)`` partition pruning — a
+    large batch probes essentially every cell, so the full-index scan
+    is the right plan; per-query candidates and results are identical
+    (parity asserted in tests, plan asserted broadcast-free)."""
+    centroids = read_ivf_centroids(path)
+    q_probes = (
+        probe_cells(queries, centroids, nprobe, id_col, vec_col)
+        .withColumnRenamed("id", "query_id")
+    )
+    cells = spark.read.parquet(os.path.join(path, "cells"))
+    cand_ids = (
+        cells.select("id", "cell")
+        .join(q_probes.hint("SHUFFLE_HASH"), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("vec_id"))
+    )
+    base = cells.select(F.col("id").alias("vec_id"), "vec")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    scored = (
+        cand_ids.join(base.hint("SHUFFLE_HASH"), "vec_id")
+        .join(q.hint("SHUFFLE_HASH"), "query_id")
+        .select(
+            "query_id", "vec_id", cosine(F.col("qvec"), F.col("vec")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "sim", "rk")
+    )
+
+
 def search_ivf_index(
     spark: SparkSession,
     path: str,

@@ -189,3 +189,30 @@ def test_fit_centroids_tolerates_mostly_invalid_corpus(spark, clustered):
     C = fit_centroids(corpus, n_cells=12, dim=DIM, max_iter=4)
     assert C.shape == (12, DIM)
     assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+
+
+def test_ivf_batch_search_parity_and_no_broadcast(spark, clustered, tmp_path):
+    """The distributed batch path returns exactly the serving path's
+    results (same candidates ⇒ same top-k, deterministic vec_id
+    tie-break), and its physical plan contains NO broadcast exchange —
+    nothing query-sized may touch the driver or a broadcast (round-3
+    VERDICT #4: the serving path's collect+broadcast is wrong for a
+    10⁹-row query batch)."""
+    from reddit_processing_spark.operators.ivf import search_ivf_index_batch
+
+    path = str(tmp_path / "ivf_idx_b")
+    build_ivf_index(clustered, path, n_cells=12, dim=DIM)
+
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)  # 12 queries
+    serve = search_ivf_index(spark, path, queries, k=10, nprobe=3).toPandas()
+    batch = search_ivf_index_batch(spark, path, queries, k=10, nprobe=3)
+    plan = batch._sc._jvm.PythonSQLUtils.explainString(
+        batch._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastExchange" not in plan
+    got = batch.toPandas()
+    s = serve.sort_values(["query_id", "rk"]).reset_index(drop=True)
+    b = got.sort_values(["query_id", "rk"]).reset_index(drop=True)
+    assert list(b["query_id"]) == list(s["query_id"])
+    assert list(b["vec_id"]) == list(s["vec_id"])
+    assert np.allclose(b["sim"], s["sim"], atol=1e-12)
