@@ -32,6 +32,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..plans.ckpt import CheckpointManager, mix_fingerprint
 from .components import _resume_state, symmetrize
+from .partitioning import resolve_partitions
 
 INF = 1 << 62
 STATE_COLS = {"vid", "dist", "chg"}
@@ -52,7 +53,7 @@ def bfs_distances(
     ``directed=True`` follows edges src→dst only."""
     import tempfile
 
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    P = resolve_partitions(spark, edges, num_partitions)
     e = edges.select("src", "dst") if directed else symmetrize(edges)
     e = e.repartition(P, "src").persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.ckpt import CheckpointManager, graph_fingerprint
+from .partitioning import resolve_partitions
 
 STATE_COLS = {"vid", "comp", "chg"}
 
@@ -107,7 +108,7 @@ def connected_components(
     (BASELINE.json names it) and the reference oracle."""
     import tempfile
 
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    P = resolve_partitions(spark, edges, num_partitions)
     salt = max(1, salt)
     ckpt = CheckpointManager(ckpt_dir or tempfile.mkdtemp(prefix="cc_ckpt_"), "components")
 
@@ -245,7 +246,7 @@ def connected_components_star(
     """
     import tempfile
 
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    P = resolve_partitions(spark, edges, num_partitions)
     ckpt = CheckpointManager(
         ckpt_dir or tempfile.mkdtemp(prefix="ccstar_ckpt_"), "cc_star"
     )

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.ckpt import CheckpointManager, mix_fingerprint
+from .partitioning import resolve_partitions
 from .pagerank import _vertices_from_edges
 
 
@@ -48,13 +49,15 @@ class HITS:
         num_partitions: int | None = None,
     ):
         self.spark = spark
-        self.P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
         self._own_edges = not (
             edges.storageLevel.useMemory or edges.storageLevel.useDisk
         )
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK) if self._own_edges else edges
         self._edges_in = edges
+        # after the persist, so the sizing count warms the cache
+        # instead of recomputing unpersisted lineage twice
+        self.P = resolve_partitions(spark, edges, num_partitions)
 
         self.vertices = _vertices_from_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
         # two persisted copies, each partitioned by the key its

@@ -57,6 +57,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..plans.ckpt import CheckpointManager, graph_fingerprint
 from .components import _annotate, _resume_state, symmetrize
+from .partitioning import resolve_partitions
 
 STATE_COLS = {"vid", "est", "chg"}
 
@@ -74,7 +75,7 @@ def core_numbers(
     undirected simple graph underlying ``edges``."""
     import tempfile
 
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    P = resolve_partitions(spark, edges, num_partitions)
     ckpt = CheckpointManager(
         ckpt_dir or tempfile.mkdtemp(prefix="kcore_ckpt_"), "kcore"
     )

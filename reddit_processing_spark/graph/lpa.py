@@ -52,6 +52,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..plans.ckpt import CheckpointManager, graph_fingerprint
 from .components import _annotate, _resume_state
+from .partitioning import resolve_partitions
 
 STATE_COLS = {"vid", "label", "chg"}
 
@@ -80,7 +81,7 @@ def label_propagation(
     """Returns (vid, label) after synchronous LPA."""
     import tempfile
 
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    P = resolve_partitions(spark, edges, num_partitions)
     salt = max(1, salt)
     ckpt = CheckpointManager(ckpt_dir or tempfile.mkdtemp(prefix="lpa_ckpt_"), "lpa")
 
