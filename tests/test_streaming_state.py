@@ -89,3 +89,93 @@ def test_conversation_state_tracker(spark, tiny_dir, ordered_stream_dir, tmp_pat
         assert r.n_turns == batch.loc[r.conv_id, "n"]
         assert r.first_ts == batch.loc[r.conv_id, "first_ts"]
         assert r.last_ts == batch.loc[r.conv_id, "last_ts"]
+
+
+def test_conversation_state_tracker_restart_recovery(
+    spark, tiny_dir, ordered_stream_dir, tmp_path
+):
+    """Mid-stream kill/restart (round-3 VERDICT #7): run the tracker
+    over the first half of the time-ordered files, stop, then restart
+    from the SAME checkpoint with the rest of the files. The state
+    store must recover (running counts continue, not restart), the
+    persisted watermark must hold (no duplicate close-outs), and
+    conversations closed before the kill must NOT be re-emitted after
+    the restart."""
+    import glob
+    import shutil
+
+    src = sorted(glob.glob(os.path.join(ordered_stream_dir, "part-*.parquet")))
+    assert len(src) == 4
+    stream_dir = str(tmp_path / "transcripts")
+    os.makedirs(stream_dir)
+    ck = str(tmp_path / "ck")
+
+    def run_phase(out_dir: str):
+        # foreachBatch -> parquet: the memory sink does NOT support
+        # checkpoint recovery (Spark refuses to restart from its
+        # offsets), and a restartable sink is the whole point here.
+        stream = read_transcript_stream(
+            spark, stream_dir, max_files_per_trigger=1
+        )
+        tracked = conversation_state_tracker(
+            stream, watermark="0 seconds", idle_gap_minutes=30
+        )
+
+        def sink(batch_df, epoch_id):
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            tracked.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir).toPandas()
+
+    for f in src[:2]:
+        shutil.copy2(f, stream_dir)  # copy2: keep the pinned mtimes
+    p1 = run_phase(str(tmp_path / "out_p1"))
+    for f in src[2:]:
+        shutil.copy2(f, stream_dir)
+    p2 = run_phase(str(tmp_path / "out_p2"))
+
+    import pandas as pd
+
+    batch = (
+        spark.read.parquet(os.path.join(tiny_dir, "*.parquet"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+    )
+    both = pd.concat([p1, p2], ignore_index=True)
+
+    # the kill/restart seam must be invisible in the final state:
+    # running counts CONTINUED across the restart (state recovery, not
+    # a from-zero restart)
+    final = both.groupby("conv_id")["n_turns"].max()
+    assert set(final.index) == set(batch.index)
+    for conv, n in final.items():
+        assert n == batch.loc[conv, "n"], conv
+
+    # close-outs: exactly once across BOTH phases, full lifetime
+    closed = both[both.status == "closed"]
+    assert len(closed) > 0
+    assert closed["conv_id"].is_unique
+    for r in closed.itertuples(index=False):
+        assert r.n_turns == batch.loc[r.conv_id, "n"]
+        assert r.first_ts == batch.loc[r.conv_id, "first_ts"]
+        assert r.last_ts == batch.loc[r.conv_id, "last_ts"]
+
+    # conversations closed BEFORE the kill are fully retired: the
+    # restarted query must not emit them again in any status
+    closed_p1 = set(p1[p1.status == "closed"]["conv_id"])
+    assert len(closed_p1) > 0, "split produced no pre-kill close-outs"
+    assert closed_p1.isdisjoint(set(p2["conv_id"]))
