@@ -867,25 +867,64 @@ def _tri_cooccurrence(spark, sf):
     )
 
 
+def _tri_clustering_merged(spark, sf):
+    """J6 + clustering in one entry: the round-1 triangle summary
+    (n_triangles, n_vertices, n_in_triangle) extended with the graph's
+    average local clustering coefficient (graph/triangles.py
+    clustering_coefficients — networkx.average_clustering convention:
+    deg<2 vertices count as 0), hash-verified against an independent
+    DuckDB per-vertex wedge formulation. Per-vertex networkx parity
+    lives in tests/test_graph.py."""
+    from reddit_processing_spark.graph.triangles import clustering_coefficients
+
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+    )
+    cc = clustering_coefficients(spark, pairs)
+    return cc.agg(
+        (F.sum("tri") / 3).cast("long").alias("n_triangles"),
+        F.count("*").alias("n_vertices"),
+        F.sum(F.when(F.col("tri") > 0, 1).otherwise(0)).cast("long").alias("n_in_triangle"),
+        F.round(F.avg("coeff"), 6).alias("avg_clustering"),
+    )
+
+
 _TRI_SQL = """
-WITH e AS (
+WITH e0 AS (
   SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
   WHERE a.l_partkey < b.l_partkey),
-tri AS (
-  SELECT count(*) AS n FROM e e1
-  JOIN e e2 ON e1.d = e2.s
-  JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d),
-verts AS (SELECT s AS v FROM e UNION SELECT d FROM e),
-in_tri AS (
-  SELECT count(DISTINCT v) AS n FROM (
-    SELECT e1.s AS v FROM e e1 JOIN e e2 ON e1.d = e2.s JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
-    UNION SELECT e1.d FROM e e1 JOIN e e2 ON e1.d = e2.s JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
-    UNION SELECT e2.d FROM e e1 JOIN e e2 ON e1.d = e2.s JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d))
-SELECT CAST(tri.n AS BIGINT) AS n_triangles,
-       (SELECT count(*) FROM verts) AS n_vertices,
-       CAST((SELECT n FROM in_tri) AS BIGINT) AS n_in_triangle
-FROM tri
+e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+tripl AS (
+  SELECT e1.s AS v1, e1.d AS v2, e2.d AS v3
+  FROM e0 e1
+  JOIN e0 e2 ON e1.d = e2.s
+  JOIN e0 e3 ON e3.s = e1.s AND e3.d = e2.d),
+pv AS (
+  SELECT v, count(*) AS tri FROM (
+    SELECT v1 AS v FROM tripl
+    UNION ALL SELECT v2 FROM tripl
+    UNION ALL SELECT v3 FROM tripl)
+  GROUP BY v),
+deg AS (SELECT s AS v, count(*) AS deg FROM e GROUP BY s),
+stats AS (
+  SELECT d.v, coalesce(pv.tri, 0) AS tri, d.deg
+  FROM deg d LEFT JOIN pv ON d.v = pv.v)
+SELECT CAST(sum(tri) / 3 AS BIGINT) AS n_triangles,
+       count(*) AS n_vertices,
+       CAST(sum(CASE WHEN tri > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_triangle,
+       round(avg(CASE WHEN deg >= 2
+                      THEN 2.0 * tri / (deg * (deg - 1.0))
+                      ELSE 0.0 END), 6) AS avg_clustering
+FROM stats
 """
 
 
@@ -2735,7 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- graph extraction parity ----
         "edge_role_pairs": _edge_role_pairs,
         "reply_edges_per_user": _reply_edges_per_user,
-        "tri_part_cooccurrence": _tri_cooccurrence,
+        "tri_part_cooccurrence": _tri_clustering_merged,
         "linkpred_part_cooccurrence": _linkpred_cooccurrence,
         # ---- sources / sinks ----
         "scan_text_roundtrip": _scan_text_roundtrip,

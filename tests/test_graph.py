@@ -353,3 +353,27 @@ def test_pagerank_resume_rejects_foreign_graph(spark, agg_edges, tmp_path):
     assert any("DIFFERENT input graph" in str(x.message) for x in w)
     assert got.keys() == want.keys()
     assert max(abs(got[v] - want[v]) for v in want) == 0.0
+
+
+def test_clustering_coefficients_match_networkx(spark, agg_edges, nx_graph):
+    """Local clustering coefficients exact vs networkx.clustering
+    (deg<2 vertices are 0.0 by convention) and the corpus average vs
+    networkx.average_clustering — the summary the merged driver entry
+    (tri_part_cooccurrence avg_clustering) reports."""
+    import networkx as nx
+
+    from reddit_processing_spark.graph.triangles import clustering_coefficients
+
+    got = {
+        r.vid: (r.deg, r.tri, r.coeff)
+        for r in clustering_coefficients(spark, agg_edges).collect()
+    }
+    want_c = nx.clustering(nx_graph)
+    want_t = nx.triangles(nx_graph)
+    assert set(got) == set(nx_graph.nodes)
+    for v, (deg, tri, coeff) in got.items():
+        assert deg == nx_graph.degree(v), v
+        assert tri == want_t[v], v
+        assert abs(coeff - want_c[v]) < 1e-12, v
+    avg = sum(c for _, _, c in got.values()) / len(got)
+    assert abs(avg - nx.average_clustering(nx_graph)) < 1e-12
