@@ -2431,20 +2431,48 @@ FROM li GROUP BY l_returnflag ORDER BY l_returnflag
 
 # ---- merged rows-only entries -------------------------------------
 def _graph_cc_sizes_both(spark, sf):
-    """Component/core structure from THREE algorithms in one entry —
+    """Component/core structure from FOUR algorithms in one entry —
     hash-min CC (the contract implementation), large-star/small-star
-    CC (the O(log²)-round production path), and k-core decomposition
+    CC (the O(log²)-round production path), k-core decomposition
     (h-index iteration; comp column = core number, size = vertex
-    count at that core) — unioned with an algo tag, so the driver row
-    witnesses hash-min ≡ star (identical size distributions; exact
-    equality and networkx core parity asserted in tests)."""
+    count at that core), and strongly connected components of the
+    DIRECTED edge graph (trim + forward/backward min-label
+    extraction; comp = SCC id) — unioned with an algo tag, so the
+    driver row witnesses hash-min ≡ star (identical size
+    distributions; exact equality, networkx core parity, and networkx
+    SCC parity asserted in tests)."""
     hm = _graph_cc_sizes(spark, sf).withColumn("algo", F.lit("hashmin"))
     star = _graph_cc_star_sizes(spark, sf).withColumn("algo", F.lit("star"))
     kc = _graph_kcore_sizes(spark, sf).withColumn("algo", F.lit("kcore"))
     bfs = _graph_bfs_histogram(spark, sf)
-    return hm.unionByName(star).unionByName(kc).unionByName(bfs).select(
-        "algo", "comp", "size"
-    ).orderBy("algo", F.desc("size"), F.asc("comp"))
+    scc = _graph_scc_sizes(spark, sf)
+    return (
+        hm.unionByName(star).unionByName(kc).unionByName(bfs).unionByName(scc)
+        .select("algo", "comp", "size")
+        .orderBy("algo", F.desc("size"), F.asc("comp"))
+    )
+
+
+def _graph_scc_sizes(spark, sf):
+    """SCC size distribution of the DIRECTED transcript edge graph
+    (algo='scc', comp=SCC id = its smallest member, size=member
+    count); exact networkx.strongly_connected_components parity lives
+    in tests/test_scc.py."""
+    from reddit_processing_spark.graph.scc import strongly_connected_components
+    from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+    t = spark.read.parquet(_fixture_dir())
+    edges, _ = derive_edges(t, n_users=TINY_N_USERS)
+    comps = strongly_connected_components(
+        spark, aggregate_edges(edges),
+        ckpt_dir=tempfile.mkdtemp(prefix="drv_scc_"),
+    )
+    return (
+        comps.groupBy(F.col("scc").alias("comp"))
+        .agg(F.count("*").alias("size"))
+        .withColumn("algo", F.lit("scc"))
+        .orderBy(F.desc("size"), F.asc("comp"))
+    )
 
 
 def _graph_bfs_histogram(spark, sf):
@@ -2696,7 +2724,8 @@ def _stream_window_counts_both(spark, sf):
 #                                       stream_conversation_state
 #   §2.11 derive_edges ................ edge_role_pairs, reply_edges_per_user
 #   §2.11 pagerank/ppr/hits ........... graph_rank_suite (pr+ppr+hits legs)
-#   §2.11 cc hash-min + star .......... graph_cc_sizes (both legs)
+#   §2.11 cc hash-min + star + SCC .... graph_cc_sizes (hashmin, star,
+#                                       kcore, bfs, scc legs)
 #   §2.11 lpa ......................... graph_lpa_sizes
 #   §2.11 triangles ................... tri_part_cooccurrence
 #   §2.11 bfs / k-core ................ graph_rank_suite (bfs+kcore legs)

@@ -1,5 +1,5 @@
 """spark-submit job: transcripts → edges →
-{cc | cc_star | lpa | triangles | kcore | hits | bfs}.
+{cc | cc_star | lpa | triangles | clustering | kcore | hits | bfs | scc}.
 
 Usage (cluster):
   spark-submit --py-files dist/engine.zip jobs/run_graph.py \
@@ -25,7 +25,7 @@ def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument(
         "--algo",
-        choices=["cc", "cc_star", "lpa", "triangles", "kcore", "hits", "bfs"],
+        choices=["cc", "cc_star", "lpa", "triangles", "clustering", "kcore", "hits", "bfs", "scc"],
         required=True,
     )
     p.add_argument(
@@ -117,6 +117,19 @@ def main(argv: list[str] | None = None) -> dict:
             num_partitions=args.partitions,
         )
         manifest_algo = "bfs"
+    elif args.algo == "scc":
+        from reddit_processing_spark.graph.scc import strongly_connected_components
+
+        out = strongly_connected_components(
+            spark, agg, max_outer=args.max_iter, ckpt_dir=args.ckpt,
+            num_partitions=args.partitions,
+        )
+        manifest_algo = "scc"
+    elif args.algo == "clustering":
+        from reddit_processing_spark.graph.triangles import clustering_coefficients
+
+        out = clustering_coefficients(spark, agg)
+        manifest_algo = None
     else:
         out = triangle_count(spark, agg)
         manifest_algo = None
