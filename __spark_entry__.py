@@ -2031,13 +2031,24 @@ SELECT * FROM (
 """
 
 
+# context-window size for the sequence-packing leg of
+# docs_token_stats (operators/packing.py): small enough that the
+# sf0.01 corpus spans many packs with a non-trivial straddle rate.
+PACK_CAPACITY = 512
+
+
 def _docs_token_stats_merged(spark, sf):
-    """T1+T5 token/corpus statistics in one per-doc row: whitespace
-    tokens (+ char counts), the BPE-ish regex token count, each doc's
-    top TF-IDF term (corpus-smoothed idf, tie-break term asc), and its
-    BM25 score against a fixed probe query (operators/tfidf.py)."""
+    """T1+T5+packing token/corpus statistics in one per-doc row:
+    whitespace tokens (+ char counts), the BPE-ish regex token count,
+    each doc's top TF-IDF term (corpus-smoothed idf, tie-break term
+    asc), its BM25 score against a fixed probe query
+    (operators/tfidf.py), and its concat-and-chunk sequence-packing
+    assignment at PACK_CAPACITY tokens (operators/packing.py —
+    distributed prefix-sum, no single-partition window; the DuckDB
+    oracle states the same layout as one global cumsum window)."""
     ws = _docs_token_stats(spark, sf)
     bpe = _docs_bpe_tokens(spark, sf)
+    from reddit_processing_spark.operators.packing import pack_sequences
     from reddit_processing_spark.operators.tfidf import bm25_scores, top_terms
 
     d = _t(spark, sf, "documents")
@@ -2052,15 +2063,20 @@ def _docs_token_stats_merged(spark, sf):
     bm = bm25_scores(d, ["the", "data", "model"]).select(
         "doc_id", F.round("bm25", 4).alias("bm25_probe")
     )
+    pk = pack_sequences(bpe, PACK_CAPACITY, "n_bpe").select(
+        "doc_id", "pack_id", "pack_offset", "straddles"
+    )
     return (
         ws.join(bpe, "doc_id")
         .join(top, "doc_id", "left")
         .join(bm, "doc_id")
+        .join(pk, "doc_id")
         .select(
             "doc_id", "n_tokens", "n_chars", "len_text", "n_bpe",
             F.coalesce("top_term", F.lit("")).alias("top_term"),
             F.coalesce("top_tfidf", F.lit(0.0)).alias("top_tfidf"),
             "bm25_probe",
+            "pack_id", "pack_offset", "straddles",
         )
         .orderBy("doc_id")
     )
@@ -2114,14 +2130,23 @@ FROM lens l LEFT JOIN (SELECT doc_id, sum(s) AS bm25 FROM per_term GROUP BY doc_
 """
 
 _DOCSTOK_MERGED_SQL = f"""
+WITH pk AS (
+  SELECT doc_id, n_bpe,
+         coalesce(sum(n_bpe) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM ({_BPE_SQL.replace("ORDER BY doc_id", "")}))
 SELECT ws.doc_id, ws.n_tokens, ws.n_chars, ws.len_text, bpe.n_bpe,
        coalesce(tt.top_term, '') AS top_term,
        coalesce(tt.top_tfidf, 0.0) AS top_tfidf,
-       bm.bm25_probe
+       bm.bm25_probe,
+       CAST(floor(pk.cb / {PACK_CAPACITY}) AS BIGINT) AS pack_id,
+       CAST(pk.cb % {PACK_CAPACITY} AS BIGINT) AS pack_offset,
+       (pk.cb % {PACK_CAPACITY} + pk.n_bpe) > {PACK_CAPACITY} AS straddles
 FROM ({_DOCSTOK_SQL.replace("ORDER BY doc_id", "")}) ws
 JOIN ({_BPE_SQL.replace("ORDER BY doc_id", "")}) bpe USING (doc_id)
 LEFT JOIN ({_TFIDF_TOP_SQL}) tt USING (doc_id)
 JOIN ({_BM25_SQL}) bm USING (doc_id)
+JOIN pk USING (doc_id)
 ORDER BY ws.doc_id
 """
 
