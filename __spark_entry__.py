@@ -2471,10 +2471,39 @@ def _graph_cc_sizes_both(spark, sf):
     kc = _graph_kcore_sizes(spark, sf).withColumn("algo", F.lit("kcore"))
     bfs = _graph_bfs_histogram(spark, sf)
     scc = _graph_scc_sizes(spark, sf)
+    sssp = _graph_sssp_histogram(spark, sf)
     return (
-        hm.unionByName(star).unionByName(kc).unionByName(bfs).unionByName(scc)
+        hm.unionByName(star).unionByName(kc).unionByName(bfs)
+        .unionByName(scc).unionByName(sssp)
         .select("algo", "comp", "size")
         .orderBy("algo", F.desc("size"), F.asc("comp"))
+    )
+
+
+def _graph_sssp_histogram(spark, sf):
+    """Weighted shortest-path distance histogram (algo='sssp',
+    comp = integral distance — edge weights are reply counts, so path
+    sums are exactly representable doubles; size = vertex count at
+    that distance) from the same three seeds as the BFS leg; exact
+    networkx Dijkstra parity lives in tests/test_bfs.py."""
+    from reddit_processing_spark.graph.bfs import shortest_paths
+    from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+
+    t = spark.read.parquet(_fixture_dir())
+    edges, _ = derive_edges(t, n_users=TINY_N_USERS)
+    agg = aggregate_edges(edges)
+    vids = agg.select(F.col("src").alias("vid")).unionByName(
+        agg.select(F.col("dst").alias("vid"))
+    ).distinct()
+    seeds = vids.orderBy("vid").limit(3)
+    dist = shortest_paths(
+        spark, agg, seeds, ckpt_dir=tempfile.mkdtemp(prefix="drv_sssp_"),
+    )
+    return (
+        dist.groupBy(F.col("dist").cast("long").alias("comp"))
+        .agg(F.count("*").alias("size"))
+        .withColumn("algo", F.lit("sssp"))
+        .orderBy(F.desc("size"), F.asc("comp"))
     )
 
 
@@ -2753,7 +2782,8 @@ def _stream_window_counts_both(spark, sf):
 #                                       kcore, bfs, scc legs)
 #   §2.11 lpa ......................... graph_lpa_sizes
 #   §2.11 triangles ................... tri_part_cooccurrence
-#   §2.11 bfs / k-core ................ graph_rank_suite (bfs+kcore legs)
+#   §2.11 bfs / k-core / sssp ........ graph_rank_suite (bfs+kcore legs);
+#                                       graph_cc_sizes (bfs+sssp histograms)
 #   §2.11 link prediction ............. linkpred_part_cooccurrence
 #                                       (uncapped + capped_112 hub-guard legs)
 #   §2.12 D1 exact dedup .............. docs_exact_dedup

@@ -1,5 +1,5 @@
 """spark-submit job: transcripts → edges →
-{cc | cc_star | lpa | triangles | clustering | kcore | hits | bfs | scc}.
+{cc | cc_star | lpa | triangles | clustering | kcore | hits | bfs | sssp | scc}.
 
 Usage (cluster):
   spark-submit --py-files dist/engine.zip jobs/run_graph.py \
@@ -25,7 +25,7 @@ def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument(
         "--algo",
-        choices=["cc", "cc_star", "lpa", "triangles", "clustering", "kcore", "hits", "bfs", "scc"],
+        choices=["cc", "cc_star", "lpa", "triangles", "clustering", "kcore", "hits", "bfs", "sssp", "scc"],
         required=True,
     )
     p.add_argument(
@@ -117,6 +117,27 @@ def main(argv: list[str] | None = None) -> dict:
             num_partitions=args.partitions,
         )
         manifest_algo = "bfs"
+    elif args.algo == "sssp":
+        from pyspark.sql import functions as F
+
+        from reddit_processing_spark.graph.bfs import shortest_paths
+
+        if args.sources:
+            vids = [int(v) for v in args.sources.split(",")]
+            src_df = spark.createDataFrame([(v,) for v in vids], "vid long")
+        else:
+            src_df = (
+                agg.select(F.col("src").alias("vid"))
+                .unionByName(agg.select(F.col("dst").alias("vid")))
+                .distinct()
+                .orderBy("vid")
+                .limit(3)
+            )
+        out = shortest_paths(
+            spark, agg, src_df, max_iter=args.max_iter, ckpt_dir=args.ckpt,
+            num_partitions=args.partitions,
+        )
+        manifest_algo = "sssp"
     elif args.algo == "scc":
         from reddit_processing_spark.graph.scc import strongly_connected_components
 

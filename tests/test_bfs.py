@@ -130,3 +130,72 @@ def test_bfs_changed_sources_reject_stale_checkpoint(spark, agg_edges, agg_pdf, 
         ).collect()
     }
     assert got_b == fresh_b
+
+
+def _nx_multi_dijkstra(g, sources) -> dict[int, float]:
+    out: dict[int, float] = {}
+    for s in sources:
+        if s not in g:
+            continue
+        for v, d in nx.single_source_dijkstra_path_length(g, s, weight="w").items():
+            if v not in out or d < out[v]:
+                out[v] = d
+    return out
+
+
+def test_sssp_weighted_exact(spark, agg_edges, agg_pdf, tmp_path):
+    """Weighted shortest paths vs networkx Dijkstra folded over the
+    source set — exact (integer-valued double weights ⇒ path sums are
+    exactly representable and min is comparison-only)."""
+    from reddit_processing_spark.graph.bfs import shortest_paths
+
+    srcs = _sources(agg_pdf)
+    g = nx.Graph()
+    for r in agg_pdf.itertuples():
+        if r.src != r.dst:
+            # undirected with per-direction min: nx.Graph keeps one
+            # edge; replicate the operator's min rule on re-add
+            w = min(r.w, g[r.src][r.dst]["w"]) if g.has_edge(r.src, r.dst) else r.w
+            g.add_edge(r.src, r.dst, w=w)
+    want = _nx_multi_dijkstra(g, srcs)
+
+    src_df = spark.createDataFrame([(v,) for v in srcs], "vid long")
+    got = {
+        r.vid: r.dist
+        for r in shortest_paths(
+            spark, agg_edges, src_df, ckpt_dir=str(tmp_path / "sssp")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sssp_unit_weights_equal_bfs(spark, agg_edges, agg_pdf, tmp_path):
+    """With all weights forced to 1.0, weighted distances equal hop
+    distances — the BFS identity."""
+    from reddit_processing_spark.graph.bfs import shortest_paths
+
+    srcs = _sources(agg_pdf)[:1]
+    src_df = spark.createDataFrame([(v,) for v in srcs], "vid long")
+    unit = agg_edges.withColumn("w", F.lit(1.0))
+    got = {
+        r.vid: int(r.dist)
+        for r in shortest_paths(
+            spark, unit, src_df, ckpt_dir=str(tmp_path / "unit")
+        ).collect()
+    }
+    hops = {
+        r.vid: r.dist
+        for r in bfs_distances(
+            spark, agg_edges, src_df, ckpt_dir=str(tmp_path / "hops"),
+        ).collect()
+    }
+    assert got == hops
+
+
+def test_sssp_rejects_negative_weights(spark, tmp_path):
+    from reddit_processing_spark.graph.bfs import shortest_paths
+
+    df = spark.createDataFrame([(1, 2, -0.5)], "src long, dst long, w double")
+    src_df = spark.createDataFrame([(1,)], "vid long")
+    with pytest.raises(ValueError, match="non-negative"):
+        shortest_paths(spark, df, src_df, ckpt_dir=str(tmp_path / "neg"))
