@@ -1154,14 +1154,35 @@ def _dedup_simhash(spark, sf):
 
 
 def _ngram_jaccard(spark, sf):
-    """SQL-expressible in principle but xxhash-free: exact n-gram
-    Jaccard pairs with a DuckDB oracle."""
-    from reddit_processing_spark.operators.dedup import ngram_jaccard_pairs
+    """Two n-gram legs UNION ALL'd (D4 + decontamination): exact
+    within-corpus 3-gram Jaccard pairs (leg='jaccard'), and the
+    cross-corpus CONTAINMENT contamination check (leg='contain' —
+    eval = odd doc_ids, train = even, score = |grams(e)∩grams(t)| /
+    |grams(e)|, the directional overlap a training pipeline audits
+    before holding a benchmark out). Both legs share ONE gram
+    definition (operators/dedup.py ngram_index) and both are
+    hash-verified against the identical DuckDB formulation."""
+    from reddit_processing_spark.operators.dedup import (
+        cross_contamination,
+        ngram_jaccard_pairs,
+    )
 
     d = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(d, n=3, threshold=0.6).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-    ).orderBy("id_a", "id_b")
+    jac = ngram_jaccard_pairs(d, n=3, threshold=0.6).select(
+        F.lit("jaccard").alias("leg"),
+        "id_a",
+        "id_b",
+        F.round("jaccard", 4).alias("score"),
+    )
+    ev = d.filter(F.col("doc_id") % 2 == 1)
+    tr = d.filter(F.col("doc_id") % 2 == 0)
+    cont = cross_contamination(ev, tr, n=3, threshold=0.4).select(
+        F.lit("contain").alias("leg"),
+        F.col("eval_id").alias("id_a"),
+        F.col("train_id").alias("id_b"),
+        F.round("containment", 4).alias("score"),
+    )
+    return jac.unionByName(cont).orderBy("leg", "id_a", "id_b")
 
 
 _NGRAM_SQL = """
@@ -1178,12 +1199,25 @@ inv AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
 shared AS (
   SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
   FROM inv l JOIN inv r ON l.gram = r.gram AND l.doc_id < r.doc_id
-  GROUP BY l.doc_id, r.doc_id)
-SELECT s.id_a, s.id_b,
-       round(CAST(s.inter AS DOUBLE) / (sa.n + sb.n - s.inter), 4) AS jaccard
-FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id JOIN sizes sb ON s.id_b = sb.doc_id
-WHERE CAST(s.inter AS DOUBLE) / (sa.n + sb.n - s.inter) >= 0.6
-ORDER BY id_a, id_b
+  GROUP BY l.doc_id, r.doc_id),
+jac AS (
+  SELECT 'jaccard' AS leg, s.id_a, s.id_b,
+         round(CAST(s.inter AS DOUBLE) / (sa.n + sb.n - s.inter), 4) AS score
+  FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE CAST(s.inter AS DOUBLE) / (sa.n + sb.n - s.inter) >= 0.6),
+cshared AS (
+  SELECT e.doc_id AS id_a, t.doc_id AS id_b, se.n AS ne, count(*) AS inter
+  FROM inv e JOIN inv t ON e.gram = t.gram
+  JOIN sizes se ON e.doc_id = se.doc_id
+  WHERE e.doc_id % 2 = 1 AND t.doc_id % 2 = 0
+  GROUP BY 1, 2, 3),
+cont AS (
+  SELECT 'contain' AS leg, id_a, id_b,
+         round(CAST(inter AS DOUBLE) / ne, 4) AS score
+  FROM cshared
+  WHERE CAST(inter AS DOUBLE) / ne >= 0.4)
+SELECT * FROM (SELECT * FROM jac UNION ALL SELECT * FROM cont)
+ORDER BY leg, id_a, id_b
 """
 
 
@@ -2788,7 +2822,9 @@ def _stream_window_counts_both(spark, sf):
 #                                       (uncapped + capped_112 hub-guard legs)
 #   §2.12 D1 exact dedup .............. docs_exact_dedup
 #   §2.12 D2/D3 minhash/simhash ....... dedup_sketch_pairs (2 legs)
-#   §2.12 D4 n-gram jaccard ........... ngram_jaccard_pairs
+#   §2.12 D4 n-gram jaccard +
+#         decontamination ............ ngram_jaccard_pairs
+#                                       (jaccard + contain legs)
 #   §2.12 D5 embed near-dup ........... embed_near_dup_exact + ann_lsh_suite
 #   §2.12 N1 brute topk ............... sim_topk_cosine
 #   §2.12 N2/N3 LSH/IVF ANN ........... ann_lsh_suite (topk + near_dup +

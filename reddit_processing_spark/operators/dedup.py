@@ -242,21 +242,16 @@ def simhash_pairs(
 
 
 # -------------------------------------------------------- ngram jaccard
-def ngram_jaccard_pairs(
+def ngram_index(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    threshold: float = 0.5,
-    max_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact token-n-gram Jaccard similarity for every pair sharing at
-    least one n-gram (inverted-index join — never a cross join).
-
-    ``max_df`` drops grams appearing in more documents (hot keys /
-    stopword-grams) — they cannot decide near-duplication but would
-    dominate the join.
-    """
+    """(id, n_grams, gram) inverted index of distinct token n-grams —
+    the shared candidate-generation surface of within-corpus Jaccard
+    dedup and cross-corpus contamination checks (one definition, so
+    the two can never disagree about what a gram is)."""
     toks = ws_tokens(text_col)
     # Build grams by zipping n shifted slices of the token array rather
     # than `transform(sequence(...), i -> slice(toks, i, n))`: the
@@ -274,7 +269,25 @@ def ngram_jaccard_pairs(
     doc_grams = df.select(
         F.col(id_col).alias("id"), F.array_distinct(grams).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
-    index = doc_grams.select("id", "n_grams", F.explode("grams").alias("gram"))
+    return doc_grams.select("id", "n_grams", F.explode("grams").alias("gram"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard similarity for every pair sharing at
+    least one n-gram (inverted-index join — never a cross join).
+
+    ``max_df`` drops grams appearing in more documents (hot keys /
+    stopword-grams) — they cannot decide near-duplication but would
+    dominate the join.
+    """
+    index = ngram_index(df, text_col, id_col, n)
     if max_df is not None:
         rare = index.groupBy("gram").count().filter(F.col("count") <= max_df)
         index = index.join(rare.select("gram"), "gram", "left_semi")
@@ -297,6 +310,55 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------------------------------- cross-corpus contamination
+def cross_contamination(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Train/eval decontamination check: for every (eval, train) pair
+    sharing at least one token n-gram, the CONTAINMENT of the eval
+    document in the train document — |grams(e) ∩ grams(t)| /
+    |grams(e)| — the standard directional overlap a training pipeline
+    audits before holding a benchmark out (an eval doc fully quoted
+    inside a longer train doc scores 1.0, where symmetric Jaccard
+    would dilute it).
+
+    Spark shape: both sides index through the SHARED ``ngram_index``
+    (one gram definition), candidates come from the inverted-index
+    equi-join on gram — never a cross join; ``max_df`` drops grams
+    appearing in more than that many TRAIN documents (stopword-gram
+    hot keys cannot prove contamination but would dominate the join).
+    Returns (eval_id, train_id, inter, containment) for pairs with
+    containment ≥ ``threshold``."""
+    ev = ngram_index(eval_df, text_col, id_col, n)
+    tr = ngram_index(train_df, text_col, id_col, n)
+    if max_df is not None:
+        rare = tr.groupBy("gram").count().filter(F.col("count") <= max_df)
+        tr = tr.join(rare.select("gram"), "gram", "left_semi")
+    shared = (
+        ev.alias("e")
+        .join(tr.alias("t"), "gram")
+        .groupBy(
+            F.col("e.id").alias("eval_id"),
+            F.col("t.id").alias("train_id"),
+            F.col("e.n_grams").alias("ne"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.withColumn(
+            "containment", (F.col("inter") / F.col("ne")).cast("double")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("eval_id", "train_id", "inter", "containment")
     )
 
 

@@ -274,3 +274,69 @@ def test_lsh_bucket_table_excludes_null_elements(spark, emb):
         lsh_bucket(F.col("embedding"), _hyperplanes(dim, 4, 0)).alias("bkt")
     ).collect()[0]["bkt"]
     assert ref is None                               # Column oracle agrees: no bucket
+
+
+def test_cross_contamination_planted(spark):
+    """An eval doc fully quoted inside a longer train doc scores
+    containment 1.0 (directional — symmetric Jaccard would dilute it);
+    unrelated docs produce no pair at the threshold."""
+    from reddit_processing_spark.operators.dedup import cross_contamination
+
+    quoted = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (0, f"header text then {quoted} and a long trailing explanation follows here"),
+            (2, "completely unrelated content about sparkplugs and manifolds today"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, quoted), (3, "nothing in common with anything at all whatsoever")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.eval_id, r.train_id): (r.inter, r.containment)
+        for r in cross_contamination(ev, train, n=3, threshold=0.5).collect()
+    }
+    assert set(got) == {(1, 0)}
+    inter, cont = got[(1, 0)]
+    assert cont == 1.0  # every 3-gram of the eval doc appears in train
+    assert inter == len(quoted.split()) - 2
+
+
+def test_cross_contamination_matches_pandas_oracle(spark):
+    """Exact (eval, train, inter, containment) parity vs a pure-python
+    n-gram set oracle on the sf0.001 documents split odd/even."""
+    from reddit_processing_spark.operators.dedup import cross_contamination
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pdf = d.toPandas()
+
+    def grams(t):
+        toks = (t or "").strip().split()
+        if not toks:
+            return {""}
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    g = {r.doc_id: grams(r.text) for r in pdf.itertuples()}
+    want = {}
+    for e in g:
+        if e % 2 != 1:
+            continue
+        for t in g:
+            if t % 2 != 0:
+                continue
+            inter = len(g[e] & g[t])
+            if inter and inter / len(g[e]) >= 0.3:
+                want[(e, t)] = (inter, round(inter / len(g[e]), 9))
+    ev = d.filter(F.col("doc_id") % 2 == 1)
+    tr = d.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        (r.eval_id, r.train_id): (r.inter, round(r.containment, 9))
+        for r in cross_contamination(ev, tr, n=3, threshold=0.3).collect()
+    }
+    assert got == want
