@@ -10,6 +10,9 @@ Usage (cluster):
                        [--splits train=0.9,val=0.05,test=0.05]
       --stage ann      --in <emb.parquet>   --out <index_dir> \
                        [--n-cells 256] [--id-col vec_id] [--vec-col embedding]
+      --stage pack     --in <docs.parquet>  --out <dir> [--capacity 4096]
+      --stage decontam --in <eval.parquet>  --train <train.parquet> \
+                       --out <dir> [--threshold 0.5]
 
 Each stage prints one JSON line of run metrics. Stages compose by
 chaining --out → --in (dedup's kept set feeds score; score's filtered
@@ -37,7 +40,11 @@ def _parse_splits(s: str) -> dict[str, float]:
 
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser()
-    p.add_argument("--stage", choices=["dedup", "score", "sample", "ann"], required=True)
+    p.add_argument(
+        "--stage",
+        choices=["dedup", "score", "sample", "ann", "pack", "decontam"],
+        required=True,
+    )
     p.add_argument("--in", dest="inp", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--master", default=None)
@@ -52,6 +59,10 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--key", default="doc_id")
     p.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
     p.add_argument("--salt", type=int, default=0)
+    # pack
+    p.add_argument("--capacity", type=int, default=4096)
+    # decontam
+    p.add_argument("--train", default=None)
     # ann
     p.add_argument("--n-cells", type=int, default=256)
     p.add_argument("--dim", type=int, default=64)
@@ -120,6 +131,27 @@ def main(argv: list[str] | None = None) -> dict:
         # one directory per split: partition-pruned consumption downstream
         out.write.mode("overwrite").partitionBy("split").parquet(args.out)
         metrics["splits"] = splits
+
+    elif args.stage == "pack":
+        from reddit_processing_spark.functions.text import bpe_token_count
+        from reddit_processing_spark.operators.packing import pack_sequences
+
+        tok = df.select(args.key, bpe_token_count("text").alias("n_tok"))
+        packed = pack_sequences(tok, args.capacity, "n_tok", id_col=args.key)
+        packed.write.mode("overwrite").parquet(args.out)
+        metrics["capacity"] = args.capacity
+
+    elif args.stage == "decontam":
+        from reddit_processing_spark.operators.dedup import cross_contamination
+
+        if not args.train:
+            raise SystemExit("--stage decontam requires --train <train.parquet>")
+        train = spark.read.parquet(args.train)
+        hits = cross_contamination(
+            df, train, id_col=args.key, threshold=args.threshold
+        )
+        hits.write.mode("overwrite").parquet(args.out)
+        metrics["train"] = args.train
 
     else:  # ann
         from reddit_processing_spark.operators.ivf import build_ivf_index
