@@ -276,21 +276,41 @@ GROUP BY n_orders ORDER BY n_orders
 
 
 def _agg_distinct(spark, sf):
+    """A4 exact + sketch legs in one entry: per-supplier exact
+    distinct counts, plus the approximate surface a 100 TB pipeline
+    actually runs — HyperLogLog++ (approx_count_distinct, rsd 0.01)
+    and Greenwald–Khanna quantiles (percentile_approx) — verified as
+    TOLERANCE BOOLEANS: the Spark side computes |sketch − exact| and
+    emits whether it is inside the bound, the oracle emits literal
+    TRUE, so a sketch drifting out of tolerance hash-fails the entry
+    while the inherently-approximate values stay out of the hash."""
     li = _t(spark, sf, "lineitem")
-    return (
-        li.groupBy("l_suppkey")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
-            F.count("*").alias("n_items"),
-        )
-        .orderBy("l_suppkey")
+    agg = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_items"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_hp"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_ho"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("_ap"),
+        F.expr("percentile(l_quantity, 0.5)").alias("_ep"),
     )
+    tol = lambda exact: F.greatest(F.lit(1.0), exact * 0.05)  # noqa: E731
+    return agg.select(
+        "l_suppkey", "n_parts", "n_orders", "n_items",
+        (F.abs(F.col("_hp") - F.col("n_parts")) <= tol(F.col("n_parts"))).alias(
+            "hll_parts_ok"
+        ),
+        (F.abs(F.col("_ho") - F.col("n_orders")) <= tol(F.col("n_orders"))).alias(
+            "hll_orders_ok"
+        ),
+        (F.abs(F.col("_ap") - F.col("_ep")) <= F.lit(1.0)).alias("apx_p50_ok"),
+    ).orderBy("l_suppkey")
 
 
 _DISTINCT_SQL = """
 SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
-       count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_items
+       count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_items,
+       TRUE AS hll_parts_ok, TRUE AS hll_orders_ok, TRUE AS apx_p50_ok
 FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
 """
 
@@ -872,9 +892,12 @@ def _tri_clustering_merged(spark, sf):
     (n_triangles, n_vertices, n_in_triangle) extended with the graph's
     average local clustering coefficient (graph/triangles.py
     clustering_coefficients — networkx.average_clustering convention:
-    deg<2 vertices count as 0), hash-verified against an independent
-    DuckDB per-vertex wedge formulation. Per-vertex networkx parity
+    deg<2 vertices count as 0) and the whole-graph degree metrics
+    (graph/metrics.py: Newman degree assortativity = Pearson corr of
+    edge-end degrees, plus degree moments), all hash-verified against
+    an independent DuckDB formulation. Per-vertex networkx parity
     lives in tests/test_graph.py."""
+    from reddit_processing_spark.graph.metrics import degree_assortativity
     from reddit_processing_spark.graph.triangles import clustering_coefficients
 
     li = _t(spark, sf, "lineitem")
@@ -889,12 +912,18 @@ def _tri_clustering_merged(spark, sf):
         .withColumn("w", F.lit(1.0))
     )
     cc = clustering_coefficients(spark, pairs)
-    return cc.agg(
+    tri = cc.agg(
         (F.sum("tri") / 3).cast("long").alias("n_triangles"),
         F.count("*").alias("n_vertices"),
         F.sum(F.when(F.col("tri") > 0, 1).otherwise(0)).cast("long").alias("n_in_triangle"),
         F.round(F.avg("coeff"), 6).alias("avg_clustering"),
     )
+    met = degree_assortativity(spark, pairs).select(
+        F.round("assortativity", 6).alias("assortativity"),
+        F.round("avg_deg", 6).alias("avg_deg"),
+        "max_deg",
+    )
+    return tri.crossJoin(F.broadcast(met))
 
 
 _TRI_SQL = """
@@ -917,13 +946,21 @@ pv AS (
 deg AS (SELECT s AS v, count(*) AS deg FROM e GROUP BY s),
 stats AS (
   SELECT d.v, coalesce(pv.tri, 0) AS tri, d.deg
-  FROM deg d LEFT JOIN pv ON d.v = pv.v)
+  FROM deg d LEFT JOIN pv ON d.v = pv.v),
+assort AS (
+  SELECT round(corr(ds.deg, dd.deg), 6) AS assortativity
+  FROM e JOIN deg ds ON e.s = ds.v JOIN deg dd ON e.d = dd.v),
+moments AS (
+  SELECT round(avg(deg), 6) AS avg_deg, max(deg) AS max_deg FROM deg)
 SELECT CAST(sum(tri) / 3 AS BIGINT) AS n_triangles,
        count(*) AS n_vertices,
        CAST(sum(CASE WHEN tri > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_triangle,
        round(avg(CASE WHEN deg >= 2
                       THEN 2.0 * tri / (deg * (deg - 1.0))
-                      ELSE 0.0 END), 6) AS avg_clustering
+                      ELSE 0.0 END), 6) AS avg_clustering,
+       (SELECT assortativity FROM assort) AS assortativity,
+       (SELECT avg_deg FROM moments) AS avg_deg,
+       (SELECT max_deg FROM moments) AS max_deg
 FROM stats
 """
 
@@ -1154,21 +1191,31 @@ def _dedup_simhash(spark, sf):
 
 
 def _ngram_jaccard(spark, sf):
-    """Two n-gram legs UNION ALL'd (D4 + decontamination): exact
-    within-corpus 3-gram Jaccard pairs (leg='jaccard'), and the
-    cross-corpus CONTAINMENT contamination check (leg='contain' —
-    eval = odd doc_ids, train = even, score = |grams(e)∩grams(t)| /
-    |grams(e)|, the directional overlap a training pipeline audits
-    before holding a benchmark out). Both legs share ONE gram
-    definition (operators/dedup.py ngram_index) and both are
-    hash-verified against the identical DuckDB formulation."""
+    """Three n-gram legs UNION ALL'd (D4 + decontamination + cluster
+    resolution): exact within-corpus 3-gram Jaccard pairs
+    (leg='jaccard'); the cross-corpus CONTAINMENT contamination check
+    (leg='contain' — eval = odd doc_ids, train = even, score =
+    |grams(e)∩grams(t)| / |grams(e)|, the directional overlap a
+    training pipeline audits before holding a benchmark out); and the
+    dedup ACTION over the jaccard pairs (leg='cluster' — transitive
+    closure via the engine's hash-min connected components, id_b =
+    canonical doc = min id of the cluster, score = cluster size;
+    operators/dedup.py resolve_dup_clusters). The first two legs
+    share ONE gram definition (operators/dedup.py ngram_index); the
+    cluster leg's oracle is a DuckDB recursive-CTE transitive closure
+    over the identical pair set — a fully SQL-verified connected
+    components."""
+    import tempfile
+
     from reddit_processing_spark.operators.dedup import (
         cross_contamination,
         ngram_jaccard_pairs,
+        resolve_dup_clusters,
     )
 
     d = _t(spark, sf, "documents")
-    jac = ngram_jaccard_pairs(d, n=3, threshold=0.6).select(
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.6)
+    jac = pairs.select(
         F.lit("jaccard").alias("leg"),
         "id_a",
         "id_b",
@@ -1182,11 +1229,20 @@ def _ngram_jaccard(spark, sf):
         F.col("train_id").alias("id_b"),
         F.round("containment", 4).alias("score"),
     )
-    return jac.unionByName(cont).orderBy("leg", "id_a", "id_b")
+    clus = resolve_dup_clusters(
+        spark, pairs, num_partitions=8,
+        ckpt_dir=tempfile.mkdtemp(prefix="drv_dupclus_"),
+    ).select(
+        F.lit("cluster").alias("leg"),
+        F.col("doc_id").alias("id_a"),
+        F.col("canonical_id").alias("id_b"),
+        F.col("cluster_size").cast("double").alias("score"),
+    )
+    return jac.unionByName(cont).unionByName(clus).orderBy("leg", "id_a", "id_b")
 
 
 _NGRAM_SQL = """
-WITH toks AS (
+WITH RECURSIVE toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
 grams AS (
   SELECT doc_id,
@@ -1215,8 +1271,25 @@ cont AS (
   SELECT 'contain' AS leg, id_a, id_b,
          round(CAST(inter AS DOUBLE) / ne, 4) AS score
   FROM cshared
-  WHERE CAST(inter AS DOUBLE) / ne >= 0.4)
-SELECT * FROM (SELECT * FROM jac UNION ALL SELECT * FROM cont)
+  WHERE CAST(inter AS DOUBLE) / ne >= 0.4),
+-- cluster leg: transitive closure of the jaccard pairs = connected
+-- components (UNION dedups rows, so the recursion terminates; the
+-- closure is Sum |comp|^2 rows — tiny on a near-dup pair graph)
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM jac
+  UNION SELECT id_b, id_a FROM jac),
+reach(a, b) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN und e ON r.b = e.src),
+canon AS (SELECT a AS doc_id, MIN(b) AS canon_id FROM reach GROUP BY a),
+csize AS (SELECT canon_id, count(*) AS n FROM canon GROUP BY canon_id),
+clus AS (
+  SELECT 'cluster' AS leg, c.doc_id AS id_a, c.canon_id AS id_b,
+         CAST(s.n AS DOUBLE) AS score
+  FROM canon c JOIN csize s USING (canon_id))
+SELECT * FROM (
+  SELECT * FROM jac UNION ALL SELECT * FROM cont UNION ALL SELECT * FROM clus)
 ORDER BY leg, id_a, id_b
 """
 
@@ -2185,11 +2258,45 @@ ORDER BY ws.doc_id
 """
 
 
+def _docs_pii(spark, sf):
+    """PII scrubbing (functions/text.py PII_PATTERNS): per-kind match
+    counts + md5 of the redacted text. The synthetic documents carry
+    no PII, so each doc's text is first enriched with a DETERMINISTIC
+    id-derived email/URL/IPv4/phone suffix — expressed identically in
+    the DuckDB oracle — making the counts non-zero and the redaction
+    non-trivial; the md5 over the redacted bytes verifies the actual
+    replacement output, not just the counts."""
+    from reddit_processing_spark.functions.text import pii_count, redact_pii
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), did,
+            F.lit("@example.com via https://ex.org/d/"), did,
+            F.lit(" from 10.1."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1415555"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return enriched.select(
+        "doc_id",
+        pii_count("t", "url").alias("n_urls"),
+        pii_count("t", "email").alias("n_emails"),
+        pii_count("t", "ipv4").alias("n_ips"),
+        pii_count("t", "phone").alias("n_phones"),
+        F.md5(redact_pii("t")).alias("redacted_md5"),
+    )
+
+
 def _docs_quality_merged(spark, sf):
-    """T2+T3 text scoring in one entry: quality score, its
-    stopword-ratio ingredient, the stopword-voting language ID, and
-    the Gopher/RefinedWeb-style repetition signals (duplicate-line
-    fraction, top-bigram fraction) on the same row."""
+    """T2+T3+PII text scoring in one entry: quality score, its
+    stopword-ratio ingredient, the stopword-voting language ID, the
+    Gopher/RefinedWeb-style repetition signals (duplicate-line
+    fraction, top-bigram fraction), and the PII-scrubbing columns
+    (per-kind counts + redacted-text md5) on the same row."""
     from reddit_processing_spark.functions.text import (
         dup_line_fraction,
         top_bigram_fraction,
@@ -2207,10 +2314,12 @@ def _docs_quality_merged(spark, sf):
             "top_bigram_frac"
         ),
     )
+    pii = _docs_pii(spark, sf)
     return (
         stop.join(qual, "doc_id")
         .join(lang, "doc_id")
         .join(rep, "doc_id")
+        .join(pii, "doc_id")
         .orderBy("doc_id")
     )
 
@@ -2245,13 +2354,35 @@ JOIN dlf USING (doc_id)
 LEFT JOIN tbf USING (doc_id)
 """
 
+_PII_SQL = r"""
+WITH enr AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@example.com via https://ex.org/d/'
+              || doc_id || ' from 10.1.' || (doc_id % 256) || '.7 or +1415555'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+           'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+           '\+[0-9]{7,15}|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+FROM enr
+"""
+
 _DOCSQUAL_MERGED_SQL = f"""
 SELECT s.doc_id, s.en_stopword_hits, s.stopword_ratio, q.quality, l.lang_pred,
-       r.dup_line_frac, r.top_bigram_frac
+       r.dup_line_frac, r.top_bigram_frac,
+       p.n_urls, p.n_emails, p.n_ips, p.n_phones, p.redacted_md5
 FROM ({_DOCSSTOP_SQL.replace("ORDER BY doc_id", "")}) s
 JOIN ({_QUALITY_SQL.replace("ORDER BY doc_id", "")}) q USING (doc_id)
 JOIN ({_LANGID_SQL.replace("ORDER BY doc_id", "")}) l USING (doc_id)
 JOIN ({_REPEAT_SQL}) r USING (doc_id)
+JOIN ({_PII_SQL}) p USING (doc_id)
 ORDER BY s.doc_id
 """
 
@@ -2588,13 +2719,15 @@ def _graph_bfs_histogram(spark, sf):
 
 
 def _graph_rank_suite(spark, sf):
-    """The three ranking algorithms in one rows-only entry
-    (registry-cap consolidation): top-20 by uniform PageRank, top-10
-    by personalized PageRank (teleport restricted to a deterministic
-    vertex subset — networkx _pagerank_scipy semantics), top-10 by
-    HITS hub score — tagged and unioned. Numpy-oracle parity
-    (allclose 1e-6) asserted in tests/test_graph.py and
-    tests/test_ppr_hits.py."""
+    """The ranking algorithms in one rows-only entry (registry-cap
+    consolidation): top-20 by uniform PageRank, top-10 by personalized
+    PageRank (teleport restricted to a deterministic vertex subset —
+    networkx _pagerank_scipy semantics), top-10 by HITS hub score, and
+    top-10 by Eppstein–Wang sampled harmonic centrality (k=8
+    hash-chosen seeds, one (vid,source)-keyed frontier BFS) — tagged
+    and unioned. Numpy/networkx-oracle parity asserted in
+    tests/test_graph.py, tests/test_ppr_hits.py, tests/
+    test_closeness.py."""
     plain = _graph_pagerank_top20(spark, sf).select(
         F.lit("pagerank").alias("algo"), "vid", F.col("rank").alias("score")
     )
@@ -2633,7 +2766,16 @@ def _graph_rank_suite(spark, sf):
         ).orderBy(F.desc("score"), F.asc("vid")).limit(10)
     finally:
         ht.unpersist()
-    return plain.unionByName(ppr).unionByName(hub).orderBy(
+    from reddit_processing_spark.graph.closeness import closeness_estimate
+
+    harm = closeness_estimate(
+        spark, agg, k=8, num_partitions=8,
+        ckpt_dir=tempfile.mkdtemp(prefix="drv_harm_"),
+    ).select(
+        F.lit("harmonic").alias("algo"), "vid",
+        F.round("harmonic_est", 6).alias("score"),
+    ).orderBy(F.desc("score"), F.asc("vid")).limit(10)
+    return plain.unionByName(ppr).unionByName(hub).unionByName(harm).orderBy(
         "algo", F.desc("score"), F.asc("vid")
     )
 
@@ -2788,7 +2930,8 @@ def _stream_window_counts_both(spark, sf):
 #   J7 full outer ..................... join_outer_suite
 #   J8 as-of/range .................... asof_purchase_last_click,
 #                                       join_range_quantity_buckets
-#   A1-A4 hash aggs ................... q1 + agg_distinct_per_supplier
+#   A1-A4 hash aggs + sketches ........ q1 + agg_distinct_per_supplier
+#                                       (exact + HLL/GK tolerance-boolean legs)
 #   A5 mode/argmax .................... graph_lpa_sizes
 #   A6 collect_list/sort_array ........ merge_entity_sink
 #   A7/A9 convergence/dangling aggs ... graph_rank_suite (Observation-folded)
@@ -2811,11 +2954,16 @@ def _stream_window_counts_both(spark, sf):
 #        stream-stream join/state) .... stream_window_counts (3 legs),
 #                                       stream_conversation_state
 #   §2.11 derive_edges ................ edge_role_pairs, reply_edges_per_user
-#   §2.11 pagerank/ppr/hits ........... graph_rank_suite (pr+ppr+hits legs)
+#   §2.11 pagerank/ppr/hits/
+#         sampled harmonic ............ graph_rank_suite (pr+ppr+hits+
+#                                       harmonic legs)
 #   §2.11 cc hash-min + star + SCC .... graph_cc_sizes (hashmin, star,
 #                                       kcore, bfs, scc legs)
 #   §2.11 lpa ......................... graph_lpa_sizes
-#   §2.11 triangles ................... tri_part_cooccurrence
+#   §2.11 triangles + clustering +
+#         degree metrics .............. tri_part_cooccurrence (one-row summary:
+#                                       triangles, avg clustering, Newman
+#                                       assortativity + degree moments)
 #   §2.11 bfs / k-core / sssp ........ graph_rank_suite (bfs+kcore legs);
 #                                       graph_cc_sizes (bfs+sssp histograms)
 #   §2.11 link prediction ............. linkpred_part_cooccurrence
@@ -2823,13 +2971,18 @@ def _stream_window_counts_both(spark, sf):
 #   §2.12 D1 exact dedup .............. docs_exact_dedup
 #   §2.12 D2/D3 minhash/simhash ....... dedup_sketch_pairs (2 legs)
 #   §2.12 D4 n-gram jaccard +
-#         decontamination ............ ngram_jaccard_pairs
-#                                       (jaccard + contain legs)
+#         decontamination +
+#         cluster resolution ......... ngram_jaccard_pairs (jaccard +
+#                                       contain + cluster legs; cluster =
+#                                       resolve_dup_clusters via hash-min CC,
+#                                       recursive-CTE closure oracle)
 #   §2.12 D5 embed near-dup ........... embed_near_dup_exact + ann_lsh_suite
 #   §2.12 N1 brute topk ............... sim_topk_cosine
 #   §2.12 N2/N3 LSH/IVF ANN ........... ann_lsh_suite (topk + near_dup +
 #                                       ivf_topk + ivf_batch legs)
 #   §2.12 T1-T5 text analysis ......... docs_token_stats, docs_quality_score
+#   §2.12 PII scrubbing ............... docs_quality_score (count + redacted-md5
+#                                       columns; functions/text.py PII_PATTERNS)
 #   §2.12 sampling/splits ............. sample_splits
 #   §2.12 multimodal .................. multimodal_features
 #   compaction (maintenance) .......... tests/test_maintenance.py (no query

@@ -5,7 +5,9 @@ documents/embeddings parquet directory.
 Usage (cluster):
   spark-submit --py-files dist/engine.zip jobs/run_pipeline.py \
       --stage dedup    --in <docs.parquet>  --out <dir> [--method minhash]
-      --stage score    --in <docs.parquet>  --out <dir>
+                       (minhash drops to the cluster-canonical min id
+                        via resolve_dup_clusters, not per-pair)
+      --stage score    --in <docs.parquet>  --out <dir> [--redact-pii]
       --stage sample   --in <any.parquet>   --out <dir> --key <col> \
                        [--splits train=0.9,val=0.05,test=0.05]
       --stage ann      --in <emb.parquet>   --out <index_dir> \
@@ -55,6 +57,7 @@ def main(argv: list[str] | None = None) -> dict:
     # score
     p.add_argument("--min-quality", type=float, default=None)
     p.add_argument("--max-dup-line", type=float, default=None)
+    p.add_argument("--redact-pii", action="store_true")
     # sample
     p.add_argument("--key", default="doc_id")
     p.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
@@ -86,16 +89,25 @@ def main(argv: list[str] | None = None) -> dict:
     metrics: dict = {"stage": args.stage, "in_rows": in_rows}
 
     if args.stage == "dedup":
+        import tempfile
+
         from reddit_processing_spark.operators.dedup import (
             exact_dedup,
             minhash_lsh_pairs,
+            resolve_dup_clusters,
         )
 
         kept = exact_dedup(df)
         if args.method == "minhash":
-            # drop the higher-id member of every verified near-dup pair
+            # cluster-canonical semantics (keep min id per transitive
+            # cluster), not per-pair drops: per-pair "drop id_b" keeps
+            # BOTH outer docs of a chain A~B~C even though the cluster
+            # convention retires everything but A
             pairs = minhash_lsh_pairs(kept, threshold=args.threshold)
-            drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+            clusters = resolve_dup_clusters(
+                spark, pairs, ckpt_dir=tempfile.mkdtemp(prefix="dedup_cc_")
+            )
+            drop = clusters.filter(~F.col("keep")).select("doc_id")
             kept = kept.join(drop, "doc_id", "left_anti")
         kept.write.mode("overwrite").parquet(args.out)
         metrics["method"] = args.method
@@ -105,6 +117,7 @@ def main(argv: list[str] | None = None) -> dict:
             dup_line_fraction,
             lang_id,
             quality_score,
+            redact_pii,
             token_count,
             top_bigram_fraction,
         )
@@ -121,6 +134,9 @@ def main(argv: list[str] | None = None) -> dict:
             scored = scored.filter(F.col("quality") >= args.min_quality)
         if args.max_dup_line is not None:
             scored = scored.filter(F.col("dup_line_frac") <= args.max_dup_line)
+        if args.redact_pii:
+            # scoring ran on the raw text; the emitted text is scrubbed
+            scored = scored.withColumn("text", redact_pii("text"))
         scored.write.mode("overwrite").parquet(args.out)
 
     elif args.stage == "sample":

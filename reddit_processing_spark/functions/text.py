@@ -187,3 +187,41 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
 def shingle_hashes(text: Column | str, k: int = 5) -> Column:
     """Distinct xxhash64 values of the k-char shingle set."""
     return F.array_distinct(F.transform(char_shingles(text, k), lambda s: F.xxhash64(s)))
+
+
+# ------------------------------------------------------- PII scrubbing
+# Redaction patterns restricted to the regex subset with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB), so the DuckDB
+# oracle can verify the actual redacted bytes, not just counts.
+# Ordered: URLs first (a URL may embed an email-shaped or IP-shaped
+# substring), then emails, IPv4, E.164/NANP phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9]{7,15}|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+]
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Number of non-overlapping matches of one PII pattern (long).
+
+    Counted BEFORE any redaction, on the raw text — so per-kind counts
+    are independent of the redaction order (a URL embedding an
+    email-shaped substring counts for both)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pat = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long")
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Text with every PII match replaced by its typed placeholder,
+    applied in PII_PATTERNS order (URL → email → IPv4 → phone).
+
+    Pure Column expression (regexp_replace chain, codegen'd) — the
+    100 TB shape is a map-only pass fused into the scan stage, no
+    shuffle, no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

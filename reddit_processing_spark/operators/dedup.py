@@ -362,6 +362,55 @@ def cross_contamination(
     )
 
 
+# ------------------------------------------------- cluster resolution
+def resolve_dup_clusters(
+    spark,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_partitions: int | None = None,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    """The dedup ACTION: turn a near-duplicate PAIR table (from any of
+    the candidate generators above — exact, MinHash, SimHash, n-gram)
+    into a canonical-document assignment via the transitive closure.
+
+    Near-duplication is not transitive (A~B, B~C does not imply A~C),
+    but production dedup treats it as if it were — "cluster and keep
+    one" (the MinHash-dedup convention of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") — because keeping
+    both endpoints of every broken chain re-admits the middle.
+    Clusters are the connected components of the pair graph, computed
+    with the engine's hash-min CC (graph/components.py: frontier
+    scheduling, salted agg, checkpoint/resume) — the component label
+    IS the min doc id, so the canonical document falls out of the
+    fixpoint with no extra pass.
+
+    Returns (doc_id, canonical_id, cluster_size, keep) for every
+    document that appears in ≥1 pair; docs in no pair are untouched
+    by dedup and are deliberately NOT emitted (at 100 TB the pair
+    graph is orders of magnitude smaller than the corpus — joining
+    the corpus back against this table as a left join / left_anti is
+    the caller's cheap final step).
+    """
+    from ..graph.components import connected_components
+
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    comps = connected_components(
+        spark, edges, num_partitions=num_partitions, ckpt_dir=ckpt_dir
+    )
+    sizes = comps.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return comps.join(sizes, "comp").select(
+        F.col("vid").alias("doc_id"),
+        F.col("comp").alias("canonical_id"),
+        "cluster_size",
+        (F.col("vid") == F.col("comp")).alias("keep"),
+    )
+
+
 # ----------------------------------------------- minhash (arrow kernel)
 def _splitmix64_np(x):
     import numpy as np

@@ -377,3 +377,33 @@ def test_clustering_coefficients_match_networkx(spark, agg_edges, nx_graph):
         assert abs(coeff - want_c[v]) < 1e-12, v
     avg = sum(c for _, _, c in got.values()) / len(got)
     assert abs(avg - nx.average_clustering(nx_graph)) < 1e-12
+
+
+def test_degree_assortativity_matches_networkx(spark, agg_edges, nx_graph):
+    """Newman assortativity + degree moments vs networkx on the
+    transcript-derived graph (graph/metrics.py)."""
+    import math
+
+    from reddit_processing_spark.graph.metrics import degree_assortativity
+
+    row = degree_assortativity(spark, agg_edges).first()
+    want = nx.degree_assortativity_coefficient(nx_graph)
+    assert math.isclose(row.assortativity, want, rel_tol=0, abs_tol=1e-9)
+    degs = [d for _, d in nx_graph.degree()]
+    assert row.n_vertices == nx_graph.number_of_nodes()
+    assert row.n_edges == nx_graph.number_of_edges()
+    assert math.isclose(row.avg_deg, sum(degs) / len(degs), abs_tol=1e-9)
+    assert row.max_deg == max(degs)
+
+
+def test_degree_assortativity_regular_graph_null(spark):
+    """Degree-regular graph → zero variance → coefficient undefined:
+    NULL, matching networkx's nan (a 4-cycle is 2-regular)."""
+    from reddit_processing_spark.graph.metrics import degree_assortativity
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    ).withColumn("w", F.lit(1.0))
+    row = degree_assortativity(spark, cyc).first()
+    assert row.assortativity is None
+    assert (row.n_vertices, row.n_edges, row.max_deg) == (4, 4, 2)
