@@ -64,6 +64,16 @@ CHECKS = {
         ("HashAggregate", "wedge groupBy(a,b) aggregates with map-side partial combine"),
         ("ShuffledHashJoin", "degree attach joins are shuffle-hash (|V|-row sides, never blind broadcast)"),
     ],
+    "tri_part_cooccurrence": [
+        ("BroadcastNestedLoopJoin", "one-row degree-metrics leg attaches via broadcast cross join — no shuffle, no repartition of the triangle side"),
+    ],
+    "docs_quality_score": [
+        ("ReadSchema:", "all five scoring legs prune to (doc_id, text) at the parquet scan"),
+        ("*(", "quality/langid/repetition/PII column math is whole-stage codegen'd (no Python on the row path)"),
+    ],
+    "agg_distinct_per_supplier": [
+        ("ObjectHashAggregate", "HLL++/GK sketch buffers aggregate in one object-hash pass alongside the exact twins"),
+    ],
 }
 
 

@@ -189,9 +189,15 @@ def main(argv: list[str] | None = None) -> dict:
         }
     )
     print(json.dumps(metrics))
-    spark.stop()
     return metrics
 
 
 if __name__ == "__main__":
+    # stop only in script mode: main() may be driven in-process (tests,
+    # notebooks) against a shared session that outlives this stage
     main()
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

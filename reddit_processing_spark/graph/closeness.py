@@ -166,3 +166,30 @@ def closeness_estimate(
         ).alias("closeness_est"),
         (F.lit(float(n) / k_eff) * F.col("_hsum")).alias("harmonic_est"),
     )
+
+
+def eccentricity_sample(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 16,
+    max_iter: int = 100,
+    ckpt_dir: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(s, ecc, n_reached) — the eccentricity of each of the k
+    deterministic hash-sampled seeds (within its own component).
+    ``max(ecc)`` over any seed set is a LOWER bound on the true graph
+    diameter, and the classic cheap diameter probe (a BFS from the
+    farthest vertex found tightens it — chain calls with the previous
+    result as sources via ``bfs_per_source`` directly). One groupBy on
+    the shared per-source BFS state — no extra graph pass."""
+    sym = symmetrize(edges)
+    verts = sym.select(F.col("src").alias("vid")).distinct()
+    seeds = verts.orderBy(F.xxhash64("vid").asc(), F.col("vid").asc()).limit(k)
+    d = bfs_per_source(
+        spark, edges, seeds, max_iter=max_iter, ckpt_dir=ckpt_dir,
+        num_partitions=num_partitions,
+    )
+    return d.groupBy("s").agg(
+        F.max("dist").alias("ecc"), F.count("*").alias("n_reached")
+    )

@@ -41,8 +41,17 @@ def degree_assortativity(spark: SparkSession, edges: DataFrame) -> DataFrame:
     deg = degree_table(edges)
     ds = deg.select(F.col("v").alias("src"), F.col("deg").alias("deg_s"))
     dd = deg.select(F.col("v").alias("dst"), F.col("deg").alias("deg_d"))
+    # corr() recomposed from its own co-moment pieces: under ANSI mode
+    # (engine default) corr() THROWS a divide-by-zero on zero-variance
+    # input (a degree-regular graph) where the coefficient is simply
+    # undefined — try_divide yields the NULL the semantics call for.
+    # covar_samp/stddev_samp use the same (n-1) scaling, so the ratio
+    # IS Pearson corr where it is defined.
     r = sym.join(ds, "src").join(dd, "dst").agg(
-        F.corr("deg_s", "deg_d").alias("assortativity")
+        F.try_divide(
+            F.covar_samp("deg_s", "deg_d"),
+            F.stddev_samp("deg_s") * F.stddev_samp("deg_d"),
+        ).alias("assortativity")
     )
     # degree moments come from the |V|-row degree table, not the edge
     # ends (an edge-end average would weight each vertex by its degree)

@@ -116,3 +116,23 @@ def test_estimator_matches_python_formula(spark, agg_edges, nx_graph, tmp_path):
         else:
             assert math.isclose(c, want_c, rel_tol=0, abs_tol=1e-9), v
         assert math.isclose(h, want_h, rel_tol=0, abs_tol=1e-9), v
+
+
+def test_eccentricity_sample_exact(spark, agg_edges, nx_graph, tmp_path):
+    """Sampled eccentricities are exact per seed, and their max lower-
+    bounds the component diameter (equals it at full sample on the
+    largest component)."""
+    from reddit_processing_spark.graph.closeness import eccentricity_sample
+
+    n = nx_graph.number_of_nodes()
+    got = {
+        r.s: (r.ecc, r.n_reached)
+        for r in eccentricity_sample(
+            spark, agg_edges, k=n, num_partitions=8,
+            ckpt_dir=str(tmp_path / "ecc"),
+        ).collect()
+    }
+    assert set(got) == set(nx_graph.nodes())
+    for s in got:
+        dists = nx.single_source_shortest_path_length(nx_graph, s)
+        assert got[s] == (max(dists.values()), len(dists))
