@@ -56,6 +56,8 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 16,
     keep_trash: bool = True,
 ) -> dict:
     """Rewrite the parquet directory at ``path`` into
@@ -64,9 +66,15 @@ def compact_parquet(
     ``sort_cols``: sortWithinPartitions on these columns before the
     write so each file's row groups carry tight min/max statistics on
     them — selective scans then skip row groups (data skipping).
+    ``zorder_cols`` (mutually exclusive): GLOBAL sort by the Morton
+    interleave of these columns (functions/zorder.py) — bounds every
+    file's extent in every listed dimension, so predicates on ANY of
+    them skip files, where a plain sort only serves its first column.
     Repartition (a shuffle) rather than coalesce: coalesce merges
     *adjacent* partitions and inherits their skew, producing uneven
-    output files; compaction's whole point is even ones.
+    output files; compaction's whole point is even ones. (Z-order uses
+    repartitionByRange on the key — a range shuffle — for the same
+    even-file outcome while keeping the curve order global.)
 
     Returns {files_before, files_after, bytes, rows} — rows is
     re-counted from the rewritten directory (cheap metadata count) and
@@ -87,11 +95,25 @@ def compact_parquet(
     total_bytes = _dir_bytes(path)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
 
+    if sort_cols and zorder_cols:
+        raise ValueError("compact_parquet: sort_cols and zorder_cols are mutually exclusive")
+
     src = spark.read.parquet(path)
     rows_before = src.count()
-    out = src.repartition(n_files)
-    if sort_cols:
-        out = out.sortWithinPartitions(*[F.col(c) for c in sort_cols])
+    if zorder_cols:
+        from ..functions.zorder import zorder_key
+
+        zk = zorder_key(src, zorder_cols, bits=zorder_bits)
+        out = (
+            src.withColumn("_zk", zk)
+            .repartitionByRange(n_files, F.col("_zk"))
+            .sortWithinPartitions("_zk")
+            .drop("_zk")
+        )
+    else:
+        out = src.repartition(n_files)
+        if sort_cols:
+            out = out.sortWithinPartitions(*[F.col(c) for c in sort_cols])
 
     shutil.rmtree(tmp, ignore_errors=True)
     out.write.mode("overwrite").parquet(tmp)

@@ -103,3 +103,90 @@ def test_compact_crash_window_recovery(spark, fragmented):
     ).collect()[0]["h"]
     assert fp_after == fp_before
     assert parquet_file_count(fragmented) == 1
+
+
+def _morton_py(vals: list[int], bits: int) -> int:
+    k = len(vals)
+    out = 0
+    for j, v in enumerate(vals):
+        v = max(0, min(v, (1 << bits) - 1))
+        for i in range(bits):
+            out |= ((v >> i) & 1) << (i * k + j)
+    return out
+
+
+def test_morton_key_matches_python_reference(spark):
+    from reddit_processing_spark.functions.zorder import morton_key
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 256, 65535, 70000) for b in (0, 3, 127, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = [
+        r.zk for r in df.select(morton_key(["a", "b"], bits=16).alias("zk"))
+        .collect()
+    ]
+    want = [_morton_py([a, b], 16) for a, b in rows]
+    assert got == want
+
+
+def test_morton_key_rejects_overflow_layout(spark):
+    from reddit_processing_spark.functions.zorder import morton_key
+
+    with pytest.raises(ValueError):
+        morton_key(["a", "b", "c", "d"], bits=16)  # 64 > 63
+
+
+def test_compact_zorder_bounds_both_dimensions(spark, tmp_path):
+    """Two independent uniform columns, 8 output files: z-order bounds
+    the per-file extent of BOTH columns, where a plain sort on x leaves
+    y spanning ~the full range in every file."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    base = spark.range(n).select(
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(100_000))).alias("x"),
+        (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(100_000))).alias("y"),
+    )
+    src = str(tmp_path / "xy")
+    base.repartition(16).write.parquet(src)
+
+    def spans(path):
+        import pyarrow.parquet as pq
+        import glob
+
+        out = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            t = pq.read_table(f)
+            xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+            if xs:
+                out.append((max(xs) - min(xs), max(ys) - min(ys)))
+        return out
+
+    zpath = str(tmp_path / "z")
+    spark.read.parquet(src).write.parquet(zpath)
+    compact_parquet(spark, zpath, target_file_bytes=_dir_frac(zpath, 16), zorder_cols=["x", "y"])
+    spath = str(tmp_path / "s")
+    spark.read.parquet(src).write.parquet(spath)
+    compact_parquet(spark, spath, target_file_bytes=_dir_frac(spath, 16), sort_cols=["x"])
+
+    zs, ss = spans(zpath), spans(spath)
+    assert len(zs) >= 8 and len(ss) >= 8
+    avg = lambda v: sum(v) / len(v)  # noqa: E731
+    full = 100_000
+    # plain sort: x tight, y unbounded
+    assert avg([y for _, y in ss]) > 0.9 * full
+    # z-order: BOTH dimensions bounded well below the full range
+    # (ideal 16-chunk Morton spans ~0.25-0.5; range-boundary straddlers
+    # inflate a few files, hence the generous 0.7 average bound)
+    assert avg([x for x, _ in zs]) < 0.7 * full
+    assert avg([y for _, y in zs]) < 0.7 * full
+    # and the plain sort's own x-advantage is NOT lost by much:
+    # z-order trades a little x locality for y locality
+    assert avg([x for x, _ in zs]) < avg([x for x, _ in ss]) + 0.7 * full
+    # data preserved
+    assert spark.read.parquet(zpath).count() == n
+
+
+def _dir_frac(path, k):
+    from reddit_processing_spark.operators.maintenance import _dir_bytes
+
+    return max(1, _dir_bytes(path) // k)
