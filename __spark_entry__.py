@@ -2722,12 +2722,14 @@ def _graph_rank_suite(spark, sf):
     """The ranking algorithms in one rows-only entry (registry-cap
     consolidation): top-20 by uniform PageRank, top-10 by personalized
     PageRank (teleport restricted to a deterministic vertex subset —
-    networkx _pagerank_scipy semantics), top-10 by HITS hub score, and
+    networkx _pagerank_scipy semantics), top-10 by HITS hub score,
     top-10 by Eppstein–Wang sampled harmonic centrality (k=8
-    hash-chosen seeds, one (vid,source)-keyed frontier BFS) — tagged
-    and unioned. Numpy/networkx-oracle parity asserted in
-    tests/test_graph.py, tests/test_ppr_hits.py, tests/
-    test_closeness.py."""
+    hash-chosen seeds, one (vid,source)-keyed frontier BFS), and
+    top-10 by Brandes sampled betweenness (k=8 pivots, level-BFS
+    σ-counting + level-ordered dependency accumulation) — tagged and
+    unioned. Numpy/networkx-oracle parity asserted in
+    tests/test_graph.py, tests/test_ppr_hits.py,
+    tests/test_closeness.py, tests/test_betweenness.py."""
     plain = _graph_pagerank_top20(spark, sf).select(
         F.lit("pagerank").alias("algo"), "vid", F.col("rank").alias("score")
     )
@@ -2766,6 +2768,7 @@ def _graph_rank_suite(spark, sf):
         ).orderBy(F.desc("score"), F.asc("vid")).limit(10)
     finally:
         ht.unpersist()
+    from reddit_processing_spark.graph.betweenness import betweenness_estimate
     from reddit_processing_spark.graph.closeness import closeness_estimate
 
     harm = closeness_estimate(
@@ -2775,8 +2778,17 @@ def _graph_rank_suite(spark, sf):
         F.lit("harmonic").alias("algo"), "vid",
         F.round("harmonic_est", 6).alias("score"),
     ).orderBy(F.desc("score"), F.asc("vid")).limit(10)
-    return plain.unionByName(ppr).unionByName(hub).unionByName(harm).orderBy(
-        "algo", F.desc("score"), F.asc("vid")
+    btw = betweenness_estimate(
+        spark, agg, k=8, num_partitions=8,
+        ckpt_dir=tempfile.mkdtemp(prefix="drv_btw_"),
+    ).select(
+        F.lit("betweenness").alias("algo"), "vid",
+        F.round("bc_est", 6).alias("score"),
+    ).orderBy(F.desc("score"), F.asc("vid")).limit(10)
+    return (
+        plain.unionByName(ppr).unionByName(hub)
+        .unionByName(harm).unionByName(btw)
+        .orderBy("algo", F.desc("score"), F.asc("vid"))
     )
 
 
@@ -2954,9 +2966,9 @@ def _stream_window_counts_both(spark, sf):
 #        stream-stream join/state) .... stream_window_counts (3 legs),
 #                                       stream_conversation_state
 #   §2.11 derive_edges ................ edge_role_pairs, reply_edges_per_user
-#   §2.11 pagerank/ppr/hits/
-#         sampled harmonic ............ graph_rank_suite (pr+ppr+hits+
-#                                       harmonic legs)
+#   §2.11 pagerank/ppr/hits/sampled
+#         harmonic + betweenness ...... graph_rank_suite (pr+ppr+hits+
+#                                       harmonic+betweenness legs)
 #   §2.11 cc hash-min + star + SCC .... graph_cc_sizes (hashmin, star,
 #                                       kcore, bfs, scc legs)
 #   §2.11 lpa ......................... graph_lpa_sizes
