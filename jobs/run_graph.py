@@ -1,5 +1,6 @@
 """spark-submit job: transcripts → edges →
-{cc | cc_star | lpa | triangles | clustering | kcore | hits | bfs | sssp | scc}.
+{cc | cc_star | lpa | triangles | clustering | kcore | hits | bfs | sssp |
+ scc | closeness | betweenness | metrics}.
 
 Usage (cluster):
   spark-submit --py-files dist/engine.zip jobs/run_graph.py \
@@ -25,13 +26,19 @@ def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument(
         "--algo",
-        choices=["cc", "cc_star", "lpa", "triangles", "clustering", "kcore", "hits", "bfs", "sssp", "scc"],
+        choices=["cc", "cc_star", "lpa", "triangles", "clustering", "kcore",
+                 "hits", "bfs", "sssp", "scc", "closeness", "betweenness",
+                 "metrics"],
         required=True,
     )
     p.add_argument(
         "--sources",
         default=None,
         help="bfs only: comma-separated source vids (default: 3 smallest)",
+    )
+    p.add_argument(
+        "--k", type=int, default=16,
+        help="closeness/betweenness: number of sampled pivots",
     )
     p.add_argument("--transcripts", required=True)
     p.add_argument("--ckpt", default=None)
@@ -150,6 +157,27 @@ def main(argv: list[str] | None = None) -> dict:
         from reddit_processing_spark.graph.triangles import clustering_coefficients
 
         out = clustering_coefficients(spark, agg)
+        manifest_algo = None
+    elif args.algo == "closeness":
+        from reddit_processing_spark.graph.closeness import closeness_estimate
+
+        out = closeness_estimate(
+            spark, agg, k=args.k, max_iter=args.max_iter, ckpt_dir=args.ckpt,
+            num_partitions=args.partitions,
+        )
+        manifest_algo = "bfs_per_source"
+    elif args.algo == "betweenness":
+        from reddit_processing_spark.graph.betweenness import betweenness_estimate
+
+        out = betweenness_estimate(
+            spark, agg, k=args.k, max_depth=args.max_iter, ckpt_dir=args.ckpt,
+            num_partitions=args.partitions,
+        )
+        manifest_algo = None  # two phases, fwd/bwd manifests under ckpt subdirs
+    elif args.algo == "metrics":
+        from reddit_processing_spark.graph.metrics import degree_assortativity
+
+        out = degree_assortativity(spark, agg)
         manifest_algo = None
     else:
         out = triangle_count(spark, agg)
