@@ -896,8 +896,19 @@ def _tri_clustering_merged(spark, sf):
     (graph/metrics.py: Newman degree assortativity = Pearson corr of
     edge-end degrees, plus degree moments), all hash-verified against
     an independent DuckDB formulation. Per-vertex networkx parity
-    lives in tests/test_graph.py."""
-    from reddit_processing_spark.graph.metrics import degree_assortativity
+    lives in tests/test_graph.py.
+
+    Round-4 additions to the same family: Newman MODULARITY of the
+    deterministic vid%8 partition (graph/metrics.py modularity — the
+    community-quality summary an LPA consumer reads), and directed
+    RECIPROCITY over the consecutive-lineitem succession graph
+    (graph/metrics.py reciprocity), both against independent DuckDB
+    formulations; networkx parity in tests/test_graph.py."""
+    from reddit_processing_spark.graph.metrics import (
+        degree_assortativity,
+        modularity,
+        reciprocity,
+    )
     from reddit_processing_spark.graph.triangles import clustering_coefficients
 
     li = _t(spark, sf, "lineitem")
@@ -923,7 +934,35 @@ def _tri_clustering_merged(spark, sf):
         F.round("avg_deg", 6).alias("avg_deg"),
         "max_deg",
     )
-    return tri.crossJoin(F.broadcast(met))
+    verts = (
+        pairs.select(F.col("src").alias("vid"))
+        .union(pairs.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    labels = verts.withColumn("label", F.col("vid") % 8)
+    mod = modularity(spark, pairs, labels).select(
+        F.round("modularity", 6).alias("modularity")
+    )
+    succ = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    rec = reciprocity(spark, succ).select(
+        F.round("reciprocity", 6).alias("reciprocity"),
+        F.col("n_reciprocated").alias("n_recip_edges"),
+    )
+    return (
+        tri.crossJoin(F.broadcast(met))
+        .crossJoin(F.broadcast(mod))
+        .crossJoin(F.broadcast(rec))
+    )
 
 
 _TRI_SQL = """
@@ -951,7 +990,33 @@ assort AS (
   SELECT round(corr(ds.deg, dd.deg), 6) AS assortativity
   FROM e JOIN deg ds ON e.s = ds.v JOIN deg dd ON e.d = dd.v),
 moments AS (
-  SELECT round(avg(deg), 6) AS avg_deg, max(deg) AS max_deg FROM deg)
+  SELECT round(avg(deg), 6) AS avg_deg, max(deg) AS max_deg FROM deg),
+-- Newman modularity of the deterministic vid%8 partition:
+-- Q = sum_c [ intra2_c/m2 - (D_c/m2)^2 ], m2 = 2m = |e| rows
+dc AS (SELECT v % 8 AS c, sum(deg) AS d FROM deg GROUP BY 1),
+ic AS (SELECT s % 8 AS c, count(*) AS i2 FROM e WHERE s % 8 = d % 8 GROUP BY 1),
+modq AS (
+  SELECT round(
+           sum(coalesce(ic.i2, 0)) / (SELECT count(*) FROM e)
+           - sum(CAST(dc.d AS DOUBLE) * dc.d)
+             / (CAST((SELECT count(*) FROM e) AS DOUBLE)
+                * (SELECT count(*) FROM e)),
+           6) AS modularity
+  FROM dc LEFT JOIN ic ON dc.c = ic.c),
+-- directed reciprocity over the consecutive-lineitem succession graph:
+-- unordered pair carries k in {1,2} orientations; k=2 => 2 reciprocated
+de AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+  WHERE a.l_partkey <> b.l_partkey),
+rp AS (
+  SELECT least(s, d) AS a, greatest(s, d) AS b, count(*) AS k
+  FROM de GROUP BY 1, 2),
+recq AS (
+  SELECT round(sum(CASE WHEN k = 2 THEN 2 ELSE 0 END) / sum(k), 6) AS reciprocity,
+         CAST(sum(CASE WHEN k = 2 THEN 2 ELSE 0 END) AS BIGINT) AS n_recip_edges
+  FROM rp)
 SELECT CAST(sum(tri) / 3 AS BIGINT) AS n_triangles,
        count(*) AS n_vertices,
        CAST(sum(CASE WHEN tri > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_triangle,
@@ -960,7 +1025,10 @@ SELECT CAST(sum(tri) / 3 AS BIGINT) AS n_triangles,
                       ELSE 0.0 END), 6) AS avg_clustering,
        (SELECT assortativity FROM assort) AS assortativity,
        (SELECT avg_deg FROM moments) AS avg_deg,
-       (SELECT max_deg FROM moments) AS max_deg
+       (SELECT max_deg FROM moments) AS max_deg,
+       (SELECT modularity FROM modq) AS modularity,
+       (SELECT reciprocity FROM recq) AS reciprocity,
+       (SELECT n_recip_edges FROM recq) AS n_recip_edges
 FROM stats
 """
 
@@ -2973,9 +3041,13 @@ def _stream_window_counts_both(spark, sf):
 #                                       kcore, bfs, scc legs)
 #   §2.11 lpa ......................... graph_lpa_sizes
 #   §2.11 triangles + clustering +
-#         degree metrics .............. tri_part_cooccurrence (one-row summary:
+#         degree metrics +
+#         modularity + reciprocity .... tri_part_cooccurrence (one-row summary:
 #                                       triangles, avg clustering, Newman
-#                                       assortativity + degree moments)
+#                                       assortativity + degree moments,
+#                                       vid%8-partition modularity, directed
+#                                       reciprocity of the lineitem succession
+#                                       graph)
 #   §2.11 bfs / k-core / sssp ........ graph_rank_suite (bfs+kcore legs);
 #                                       graph_cc_sizes (bfs+sssp histograms)
 #   §2.11 link prediction ............. linkpred_part_cooccurrence

@@ -1,6 +1,7 @@
-"""Whole-graph summary metrics — degree moments and degree
-assortativity — as single-pass DataFrame aggregates (SURVEY.md §2.11
-analytics surface next to triangles/clustering).
+"""Whole-graph summary metrics — degree moments, degree
+assortativity, partition modularity, and directed reciprocity — as
+single-pass DataFrame aggregates (SURVEY.md §2.11 analytics surface
+next to triangles/clustering).
 
 Degree assortativity (Newman 2002, "Assortative mixing in networks")
 is the Pearson correlation of the degrees at the two ends of every
@@ -62,3 +63,101 @@ def degree_assortativity(spark: SparkSession, edges: DataFrame) -> DataFrame:
         F.max("deg").alias("max_deg"),
     )
     return r.crossJoin(F.broadcast(moments))
+
+
+def modularity(spark: SparkSession, edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One row: (modularity, n_communities, m_edges) — Newman
+    modularity of the vertex partition ``labels`` (vid, label) over
+    the undirected simple graph underlying ``edges``::
+
+        Q = Σ_c [ L_c/m − (D_c/(2m))² ]
+
+    with ``L_c`` the intra-community undirected edge count, ``D_c``
+    the community degree sum, ``m`` total undirected edges — exactly
+    what ``networkx.algorithms.community.modularity`` (weight=None)
+    computes. The natural consumer is an LPA or CC labelling, but any
+    total vertex partition works; vertices missing from ``labels``
+    drop their edges (the partition must cover the graph, same
+    precondition networkx enforces).
+
+    Spark shape: symmetrize (each undirected edge in both
+    orientations), two |V|-row label joins onto the edge ends (AQE
+    broadcasts the label side when small), ONE groupBy(label) whose
+    count(*) is D_c and whose same-label sum is 2·L_c — degree sums
+    and intra counts come out of the same aggregate, no separate
+    degree table — then a scalar fold. Σ and Σ² of D_c recover the
+    global 2m inside the fold, so no window or second pass over the
+    per-community rows is needed. Degree sums are cast to double
+    before squaring: ANSI mode throws on long overflow, and at
+    10^12-edge scale D_c² exceeds int64.
+    """
+    sym = symmetrize(edges)
+    lab = labels.select("vid", "label")
+    ls = lab.select(F.col("vid").alias("src"), F.col("label").alias("lab_s"))
+    ld = lab.select(F.col("vid").alias("dst"), F.col("label").alias("lab_d"))
+    per_c = (
+        sym.join(ls, "src")
+        .join(ld, "dst")
+        .groupBy(F.col("lab_s").alias("label"))
+        .agg(
+            F.count("*").alias("deg_sum"),
+            F.sum(
+                F.when(F.col("lab_s") == F.col("lab_d"), 1).otherwise(0)
+            ).alias("intra2"),
+        )
+    )
+    return per_c.agg(
+        F.count("*").alias("n_communities"),
+        F.sum("intra2").alias("_i2"),
+        F.sum("deg_sum").alias("_m2"),
+        F.sum(F.col("deg_sum").cast("double") * F.col("deg_sum")).alias("_d2"),
+    ).select(
+        F.try_divide(F.col("_i2"), F.col("_m2")).alias("_frac_intra"),
+        "_m2",
+        "_d2",
+        "n_communities",
+    ).select(
+        (
+            F.col("_frac_intra")
+            - F.col("_d2") / (F.col("_m2").cast("double") * F.col("_m2"))
+        ).alias("modularity"),
+        "n_communities",
+        (F.col("_m2") / 2).cast("long").alias("m_edges"),
+    )
+
+
+def reciprocity(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """One row: (reciprocity, n_directed_edges, n_reciprocated) over
+    the DIRECTED simple graph of distinct non-loop (src, dst) rows:
+    the fraction of directed edges whose reverse edge is also present
+    (``networkx.overall_reciprocity`` on the loop-free DiGraph).
+    Self-loops are excluded — a loop is trivially its own reverse and
+    only inflates the ratio. NULL on an empty edge set.
+
+    Spark shape: no self-join against the reversed table — distinct
+    directed edges collapse onto their unordered pair key
+    ``(least, greatest)`` in ONE groupBy, where each pair carries
+    k ∈ {1, 2} observed orientations; k=2 means both directions
+    exist, contributing 2 reciprocated directed edges, and Σk is the
+    directed edge count. One scalar fold finishes. Two shuffles
+    total (distinct + pair groupBy), both shrinking.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pairs = e.groupBy(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).agg(F.count("*").alias("k"))
+    return pairs.agg(
+        F.coalesce(F.sum("k"), F.lit(0)).alias("_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("k") == 2, F.lit(2)).otherwise(0)), F.lit(0)
+        ).alias("_r"),
+    ).select(
+        F.try_divide(F.col("_r"), F.col("_n")).alias("reciprocity"),
+        F.col("_n").cast("long").alias("n_directed_edges"),
+        F.col("_r").cast("long").alias("n_reciprocated"),
+    )

@@ -407,3 +407,100 @@ def test_degree_assortativity_regular_graph_null(spark):
     row = degree_assortativity(spark, cyc).first()
     assert row.assortativity is None
     assert (row.n_vertices, row.n_edges, row.max_deg) == (4, 4, 2)
+
+
+def test_modularity_matches_networkx(spark, agg_edges, nx_graph):
+    """Newman modularity of a deterministic 3-way vertex partition vs
+    networkx.algorithms.community.modularity on the transcript-derived
+    graph (graph/metrics.py modularity)."""
+    import math
+
+    from reddit_processing_spark.graph.metrics import modularity
+
+    verts = sorted(nx_graph.nodes())
+    labels = spark.createDataFrame(
+        [(v, int(v) % 3) for v in verts], "vid long, label long"
+    )
+    row = modularity(spark, agg_edges, labels).first()
+    comms = [
+        {v for v in verts if v % 3 == c}
+        for c in range(3)
+        if any(v % 3 == c for v in verts)
+    ]
+    want = nx.algorithms.community.modularity(nx_graph, comms, weight=None)
+    assert math.isclose(row.modularity, want, rel_tol=0, abs_tol=1e-9)
+    assert row.n_communities == len(comms)
+    assert row.m_edges == nx_graph.number_of_edges()
+
+
+def test_modularity_single_community_zero(spark, agg_edges, nx_graph):
+    """The all-in-one-community partition has Q = L/m − (2m/2m)² = 0
+    exactly when the graph is connected into one label — the classic
+    sanity identity."""
+    from reddit_processing_spark.graph.metrics import modularity
+
+    labels = spark.createDataFrame(
+        [(v, 0) for v in nx_graph.nodes()], "vid long, label long"
+    )
+    row = modularity(spark, agg_edges, labels).first()
+    assert abs(row.modularity) < 1e-12
+    assert row.n_communities == 1
+
+
+def test_modularity_of_lpa_labels(spark, agg_edges, agg_pdf, tmp_path):
+    """End-to-end community-quality check: modularity consumes the
+    engine's own LPA output and agrees with networkx computing the
+    same partition's modularity."""
+    import math
+
+    labels = label_propagation(
+        spark, agg_edges, max_iter=10, num_partitions=8,
+        ckpt_dir=str(tmp_path / "lpa_mod"),
+    )
+    from reddit_processing_spark.graph.metrics import modularity
+
+    modularity_row = modularity(spark, agg_edges, labels).first()
+    lab = {r.vid: r.label for r in labels.collect()}
+    g = nx.Graph()
+    for r in agg_pdf.itertuples():
+        if r.src != r.dst:
+            g.add_edge(r.src, r.dst)
+    comms = {}
+    for v, c in lab.items():
+        comms.setdefault(c, set()).add(v)
+    want = nx.algorithms.community.modularity(g, comms.values(), weight=None)
+    assert math.isclose(modularity_row.modularity, want, rel_tol=0, abs_tol=1e-9)
+
+
+def test_reciprocity_matches_networkx(spark, agg_edges, agg_pdf):
+    """Directed reciprocity vs networkx.overall_reciprocity on the
+    loop-free DiGraph of the raw directed transcript edges."""
+    import math
+
+    from reddit_processing_spark.graph.metrics import reciprocity
+
+    row = reciprocity(spark, agg_edges).first()
+    dg = nx.DiGraph()
+    for r in agg_pdf.itertuples():
+        if r.src != r.dst:
+            dg.add_edge(r.src, r.dst)
+    want = nx.overall_reciprocity(dg)
+    assert math.isclose(row.reciprocity, want, rel_tol=0, abs_tol=1e-12)
+    assert row.n_directed_edges == dg.number_of_edges()
+
+
+def test_reciprocity_hand_checked(spark):
+    """1→2, 2→1, 1→3, 3→3 (loop dropped): 2 of 3 directed edges
+    reciprocated → 2/3; and the empty graph is NULL, not an ANSI
+    divide-by-zero."""
+    from reddit_processing_spark.graph.metrics import reciprocity
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 3), (1, 2)], "src long, dst long"
+    )
+    row = reciprocity(spark, e).first()
+    assert (row.n_directed_edges, row.n_reciprocated) == (3, 2)
+    assert abs(row.reciprocity - 2.0 / 3.0) < 1e-15
+    empty = spark.createDataFrame([], "src long, dst long")
+    row0 = reciprocity(spark, empty).first()
+    assert row0.reciprocity is None and row0.n_directed_edges == 0
