@@ -2794,10 +2794,13 @@ def _graph_rank_suite(spark, sf):
     top-10 by Eppstein–Wang sampled harmonic centrality (k=8
     hash-chosen seeds, one (vid,source)-keyed frontier BFS), and
     top-10 by Brandes sampled betweenness (k=8 pivots, level-BFS
-    σ-counting + level-ordered dependency accumulation) — tagged and
-    unioned. Numpy/networkx-oracle parity asserted in
-    tests/test_graph.py, tests/test_ppr_hits.py,
-    tests/test_closeness.py, tests/test_betweenness.py."""
+    σ-counting + level-ordered dependency accumulation), and top-10 by
+    Katz centrality (α = 0.5/max-weighted-degree — the max row sum
+    bounds the spectral radius of a nonnegative matrix, so α < 1/λ_max
+    by construction) — tagged and unioned. Numpy/networkx-oracle
+    parity asserted in tests/test_graph.py, tests/test_ppr_hits.py,
+    tests/test_closeness.py, tests/test_betweenness.py,
+    tests/test_katz.py."""
     plain = _graph_pagerank_top20(spark, sf).select(
         F.lit("pagerank").alias("algo"), "vid", F.col("rank").alias("score")
     )
@@ -2853,9 +2856,22 @@ def _graph_rank_suite(spark, sf):
         F.lit("betweenness").alias("algo"), "vid",
         F.round("bc_est", 6).alias("score"),
     ).orderBy(F.desc("score"), F.asc("vid")).limit(10)
+    from reddit_processing_spark.graph.katz import katz_centrality
+
+    max_wdeg = float(
+        agg.groupBy("src").agg(F.sum("w").alias("s")).agg(F.max("s")).collect()[0][0]
+    )
+    kz = katz_centrality(
+        spark, agg, alpha=0.5 / max_wdeg, beta=1.0, tol=1e-10,
+        max_iter=200, ckpt_dir=tempfile.mkdtemp(prefix="drv_katz_"),
+        num_partitions=8,
+    ).select(
+        F.lit("katz").alias("algo"), "vid",
+        F.round("katz", 6).alias("score"),
+    ).orderBy(F.desc("score"), F.asc("vid")).limit(10)
     return (
         plain.unionByName(ppr).unionByName(hub)
-        .unionByName(harm).unionByName(btw)
+        .unionByName(harm).unionByName(btw).unionByName(kz)
         .orderBy("algo", F.desc("score"), F.asc("vid"))
     )
 
@@ -3034,8 +3050,9 @@ def _stream_window_counts_both(spark, sf):
 #        stream-stream join/state) .... stream_window_counts (3 legs),
 #                                       stream_conversation_state
 #   §2.11 derive_edges ................ edge_role_pairs, reply_edges_per_user
-#   §2.11 pagerank/ppr/hits/sampled
-#         harmonic + betweenness ...... graph_rank_suite (pr+ppr+hits+
+#   §2.11 pagerank/ppr/hits/katz/
+#         sampled harmonic +
+#         betweenness ................. graph_rank_suite (pr+ppr+hits+katz+
 #                                       harmonic+betweenness legs)
 #   §2.11 cc hash-min + star + SCC .... graph_cc_sizes (hashmin, star,
 #                                       kcore, bfs, scc legs)
