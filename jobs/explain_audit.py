@@ -151,6 +151,30 @@ def main() -> None:
     )
     pr.unpersist()
 
+    # Katz superstep plan: same hot-loop discipline as PageRank's sql
+    # kernel — the persisted edge side must join SHUFFLE_HASH (never
+    # sort-merge, never broadcast of a |V|-row state) with a map-side
+    # partial combine on the dst reduce.
+    from reddit_processing_spark.graph.katz import Katz
+
+    kz = Katz(spark, aggregate_edges(edges), num_partitions=8)
+    x0 = kz.vertices.select("vid", F.lit(1.0).alias("x"))
+    plan = plan_of(kz._messages(x0))
+    results = []
+    for needle, why in [
+        ("ShuffledHashJoin", "hot-loop state⋈edges join avoids per-superstep sorts"),
+        ("HashAggregate", "map-side partial combine on the dst message reduce"),
+    ]:
+        ok = needle in plan
+        results.append(f"- {'PASS' if ok else 'FAIL'}: `{needle}` — {why}")
+        if not ok:
+            failures.append(f"katz_messages: {needle}")
+    head = plan.split("\n\n")[0]
+    sections.append(
+        "## katz_messages\n\n" + "\n".join(results) + f"\n\n```\n{head}\n```\n"
+    )
+    kz.unpersist()
+
     md = (
         "# EXPLAINS — physical-plan audit\n\n"
         "Generated by `python jobs/explain_audit.py` (local[8], sf0.01).\n"

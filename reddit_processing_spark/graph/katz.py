@@ -142,12 +142,7 @@ class Katz:
         self._grow = 0
         for step in range(start_step, max_iter):
             t0 = time.monotonic()
-            x = state.select("vid", "x")
-            msg = (
-                self.e_src.join(x.hint("SHUFFLE_HASH"), self.e_src.src == x.vid)
-                .groupBy("dst")
-                .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
-            )
+            msg = self._messages(state.select("vid", "x"))
             prev = state.select("vid", F.col("x").alias("x_prev"))
             xn = F.lit(float(alpha)) * F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(
                 float(beta)
@@ -202,6 +197,17 @@ class Katz:
         n2 = float(nrow["n2"] or 0.0)
         s = 1.0 / (n2**0.5) if n2 > 0 else 1.0
         return state.select("vid", (F.col("x") * F.lit(s)).alias("katz"))
+
+    def _messages(self, x: DataFrame) -> DataFrame:
+        """Inbound weighted message sums for one superstep — the
+        hot-loop join the plan audit asserts stays SHUFFLE_HASH
+        against the persisted src-partitioned edge side (a sort-merge
+        here would re-sort |E| every superstep)."""
+        return (
+            self.e_src.join(x.hint("SHUFFLE_HASH"), self.e_src.src == x.vid)
+            .groupBy("dst")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+        )
 
     @staticmethod
     def _annotate_manifest(
