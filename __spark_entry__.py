@@ -2689,28 +2689,62 @@ FROM li GROUP BY l_returnflag ORDER BY l_returnflag
 
 # ---- merged rows-only entries -------------------------------------
 def _graph_cc_sizes_both(spark, sf):
-    """Component/core structure from FOUR algorithms in one entry —
-    hash-min CC (the contract implementation), large-star/small-star
-    CC (the O(log²)-round production path), k-core decomposition
-    (h-index iteration; comp column = core number, size = vertex
-    count at that core), and strongly connected components of the
-    DIRECTED edge graph (trim + forward/backward min-label
-    extraction; comp = SCC id) — unioned with an algo tag, so the
-    driver row witnesses hash-min ≡ star (identical size
-    distributions; exact equality, networkx core parity, and networkx
-    SCC parity asserted in tests)."""
+    """Component/core/truss structure in one entry — hash-min CC (the
+    contract implementation), large-star/small-star CC (the
+    O(log²)-round production path), k-core decomposition (h-index
+    iteration; comp column = core number, size = vertex count at that
+    core), strongly connected components of the DIRECTED edge graph
+    (trim + forward/backward min-label extraction; comp = SCC id),
+    BFS/SSSP distance histograms, and k-truss edge counts
+    (support-peeling fixpoint; comp = k) — unioned with an algo tag,
+    so the driver row witnesses hash-min ≡ star (identical size
+    distributions; exact equality, networkx core/SCC/truss parity
+    asserted in tests)."""
     hm = _graph_cc_sizes(spark, sf).withColumn("algo", F.lit("hashmin"))
     star = _graph_cc_star_sizes(spark, sf).withColumn("algo", F.lit("star"))
     kc = _graph_kcore_sizes(spark, sf).withColumn("algo", F.lit("kcore"))
     bfs = _graph_bfs_histogram(spark, sf)
     scc = _graph_scc_sizes(spark, sf)
     sssp = _graph_sssp_histogram(spark, sf)
+    truss = _graph_truss_sizes(spark, sf)
     return (
         hm.unionByName(star).unionByName(kc).unionByName(bfs)
-        .unionByName(scc).unionByName(sssp)
+        .unionByName(scc).unionByName(sssp).unionByName(truss)
         .select("algo", "comp", "size")
         .orderBy("algo", F.desc("size"), F.asc("comp"))
     )
+
+
+def _graph_truss_sizes(spark, sf):
+    """k-truss edge counts (algo='truss', comp=k, size=|E| of the
+    k-truss) for k ∈ {3, 5} on a bounded part co-occurrence subgraph
+    (low orderkeys only — the transcript graph is triangle-free, and
+    the cutoff keeps the per-round wedge enumeration constant at any
+    sf); edge-for-edge networkx.k_truss parity lives in
+    tests/test_truss.py."""
+    from reddit_processing_spark.graph.truss import k_truss
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+    )
+    out = None
+    for k in (3, 5):
+        te = k_truss(spark, pairs, k=k, num_partitions=8)
+        row = te.agg(F.count("*").alias("size")).select(
+            F.lit("truss").alias("algo"),
+            F.lit(k).cast("long").alias("comp"),
+            F.col("size"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def _graph_sssp_histogram(spark, sf):
@@ -3054,8 +3088,9 @@ def _stream_window_counts_both(spark, sf):
 #         sampled harmonic +
 #         betweenness ................. graph_rank_suite (pr+ppr+hits+katz+
 #                                       harmonic+betweenness legs)
-#   §2.11 cc hash-min + star + SCC .... graph_cc_sizes (hashmin, star,
-#                                       kcore, bfs, scc legs)
+#   §2.11 cc hash-min + star + SCC
+#         + k-truss ................... graph_cc_sizes (hashmin, star,
+#                                       kcore, bfs, scc, truss legs)
 #   §2.11 lpa ......................... graph_lpa_sizes
 #   §2.11 triangles + clustering +
 #         degree metrics +

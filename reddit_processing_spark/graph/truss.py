@@ -1,0 +1,181 @@
+"""k-truss decomposition (SURVEY.md §2.11 cohesive-subgraph family,
+next to k-core).
+
+The k-truss (Cohen 2008) is the maximal subgraph in which every edge
+participates in at least k−2 triangles *of that subgraph* — a
+stricter, triangle-based cousin of the (k−1)-core. Computed by the
+standard support-peeling fixpoint: per round, count each surviving
+edge's triangle support with the degree-oriented wedge join (the same
+O(E^1.5) enumeration ``triangle_count`` uses, here credited to the
+three EDGES of each closed wedge instead of its corners), drop edges
+with support < k−2, repeat until no edge is dropped. Deletions only
+shrink supports, so the fixpoint is exactly the maximal subgraph —
+``networkx.k_truss`` parity is asserted edge-for-edge in tests.
+
+Scale shape (100 TB design): each round is one wedge join bounded by
+low-degree pivots (degree re-orientation every round, since peeling
+changes degrees), one explode(3)+groupBy(a,b) support aggregate with
+map-side combine, and one filter — all whole-stage JVM, no Python.
+The surviving edge set is durably checkpointed per round (manifest
+records edges_kept/edges_dropped), truncating lineage that would
+otherwise stack one wedge join per round; the fingerprint mixes k
+with the edge set so a ckpt_dir from a different k (or graph) rejects
+instead of resuming someone else's peeling. Rounds are bounded by the
+peeling depth (typically ≪ 10 on co-occurrence graphs: mass deletions
+happen in the first rounds); each round's input is strictly smaller
+than the last.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..plans.ckpt import CheckpointManager, graph_fingerprint, mix_fingerprint
+from .partitioning import resolve_partitions
+from .triangles import canonical_edges
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """(a, b, support) for every canonical edge of ``e`` (a<b,
+    distinct): the number of triangles of the CURRENT edge set the
+    edge lies on. Degree-oriented wedge enumeration — every triangle
+    closes exactly once at its lowest-degree corner, then credits its
+    three canonicalized edges."""
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("d"))
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(deg.select(F.col("vid").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("vid").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    e1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("x"))
+    e2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("y"))
+    wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
+    closing = sym.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("p", "x").alias("a"), F.greatest("p", "x").alias("b")
+                ),
+                F.struct(
+                    F.least("p", "y").alias("a"), F.greatest("p", "y").alias("b")
+                ),
+                F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+            )
+        ).alias("ed")
+    ).select("ed.a", "ed.b")
+    sup = tri_edges.groupBy("a", "b").agg(F.count("*").alias("support"))
+    return e.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+    )
+
+
+def k_truss(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+    max_rounds: int = 200,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The k-truss edge set (a, b) of the undirected simple graph
+    underlying ``edges`` — canonical a<b rows; possibly empty.
+    Matches ``networkx.k_truss(G, k).edges`` exactly."""
+    import tempfile
+
+    if k < 2:
+        raise ValueError(f"k_truss: k must be >= 2, got {k}")
+    thresh = k - 2
+    e = canonical_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    P = resolve_partitions(spark, e, num_partitions)
+    fp = mix_fingerprint(int(k), graph_fingerprint(e, cols=("a", "b")))
+    ckpt = CheckpointManager(
+        ckpt_dir or tempfile.mkdtemp(prefix="truss_ckpt_"),
+        "truss",
+        fingerprint=fp,
+    )
+    start_round = 0
+    n_edges = None
+    if resume:
+        last = ckpt.latest_valid_step()
+        if last is not None:
+            cand = ckpt.read(spark, last)
+            if set(cand.columns) == {"a", "b"}:
+                e.unpersist()
+                e = cand
+                start_round = last
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"k_truss: checkpoint at round {last} has columns "
+                    f"{sorted(cand.columns)} (expected ['a', 'b']); "
+                    "ignoring it and restarting from round 0",
+                    stacklevel=2,
+                )
+    for rnd in range(start_round, max_rounds):
+        t0 = time.monotonic()
+        if n_edges is None:
+            n_edges = e.count()
+        if n_edges == 0:
+            break
+        kept = (
+            _edge_support(e)
+            .filter(F.col("support") >= thresh)
+            .select("a", "b")
+            .repartition(P, "a")
+        )
+        written = ckpt.write(kept, rnd + 1)
+        n_kept = written.count()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        _annotate(ckpt, rnd + 1, n_edges, n_kept, wall_ms)
+        dropped = n_edges - n_kept
+        if rnd == start_round:
+            e.unpersist()
+        e = written
+        n_edges = n_kept
+        if dropped == 0:
+            return e
+    if n_edges and n_edges > 0:
+        import warnings
+
+        warnings.warn(
+            f"k_truss: round budget ({max_rounds}) exhausted before the "
+            "support fixpoint; the returned edge set may still shrink",
+            stacklevel=2,
+        )
+    return e.select("a", "b") if n_edges else spark.createDataFrame(
+        [], "a long, b long"
+    )
+
+
+def _annotate(
+    ckpt: CheckpointManager, step: int, n_in: int, n_kept: int, wall_ms: int
+) -> None:
+    import json
+    import os
+
+    p = ckpt.manifest_path(step)
+    with open(p) as fh:
+        m = json.load(fh)
+    m["metrics"] = {"edges_in": n_in, "edges_kept": n_kept}
+    m["wall_ms"] = wall_ms
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+    os.rename(tmp, p)
