@@ -1,6 +1,7 @@
 """spark-submit job: transcripts → edges →
 {cc | cc_star | lpa | triangles | clustering | kcore | hits | bfs | sssp |
- scc | closeness | betweenness | metrics}.
+ scc | closeness | betweenness | metrics | katz | truss | modularity |
+ reciprocity}.
 
 Usage (cluster):
   spark-submit --py-files dist/engine.zip jobs/run_graph.py \
@@ -28,8 +29,13 @@ def main(argv: list[str] | None = None) -> dict:
         "--algo",
         choices=["cc", "cc_star", "lpa", "triangles", "clustering", "kcore",
                  "hits", "bfs", "sssp", "scc", "closeness", "betweenness",
-                 "metrics"],
+                 "metrics", "katz", "truss", "modularity", "reciprocity"],
         required=True,
+    )
+    p.add_argument(
+        "--alpha", type=float, default=None,
+        help="katz only: attenuation (default: 0.5/max-weighted-degree, "
+             "a provable spectral-radius bound)",
     )
     p.add_argument(
         "--sources",
@@ -38,7 +44,9 @@ def main(argv: list[str] | None = None) -> dict:
     )
     p.add_argument(
         "--k", type=int, default=16,
-        help="closeness/betweenness: number of sampled pivots",
+        help="closeness/betweenness: number of sampled pivots; "
+             "truss: the k of the k-truss (default 16 suits sampling, "
+             "pass e.g. --k 4 for trusses)",
     )
     p.add_argument("--transcripts", required=True)
     p.add_argument("--ckpt", default=None)
@@ -178,6 +186,43 @@ def main(argv: list[str] | None = None) -> dict:
         from reddit_processing_spark.graph.metrics import degree_assortativity
 
         out = degree_assortativity(spark, agg)
+        manifest_algo = None
+    elif args.algo == "katz":
+        from pyspark.sql import functions as F
+
+        from reddit_processing_spark.graph.katz import Katz
+
+        alpha = args.alpha
+        if alpha is None:
+            alpha = 0.5 / float(
+                agg.groupBy("src").agg(F.sum("w").alias("s"))
+                .agg(F.max("s")).collect()[0][0]
+            )
+        kz = Katz(spark, agg, num_partitions=args.partitions)
+        out = kz.run(alpha=alpha, max_iter=args.max_iter, ckpt_dir=args.ckpt)
+        manifest_algo = "katz"
+    elif args.algo == "truss":
+        from reddit_processing_spark.graph.truss import k_truss
+
+        out = k_truss(
+            spark, agg, k=args.k, ckpt_dir=args.ckpt,
+            max_rounds=args.max_iter, num_partitions=args.partitions,
+        )
+        manifest_algo = "truss"
+    elif args.algo == "modularity":
+        from reddit_processing_spark.graph.lpa import label_propagation as _lpa
+        from reddit_processing_spark.graph.metrics import modularity as _mod
+
+        labels = _lpa(
+            spark, agg, max_iter=args.max_iter, ckpt_dir=args.ckpt,
+            num_partitions=args.partitions,
+        )
+        out = _mod(spark, agg, labels)
+        manifest_algo = "lpa"
+    elif args.algo == "reciprocity":
+        from reddit_processing_spark.graph.metrics import reciprocity as _rec
+
+        out = _rec(spark, agg)
         manifest_algo = None
     else:
         out = triangle_count(spark, agg)
