@@ -229,6 +229,33 @@ def main() -> None:
     )
     ht.unpersist()
 
+    # Katz: per-superstep wall over the same fixed superstep count —
+    # the lightest iterative identity (ONE edge join + message groupBy
+    # + checkpoint write; delta Observation-folded, no extra jobs), so
+    # it isolates the join+checkpoint floor the heavier algorithms
+    # share. Alpha = 0.5/max-weighted-degree (provably convergent).
+    from pyspark.sql import functions as _F
+
+    from reddit_processing_spark.graph.katz import Katz
+
+    kz = Katz(spark, agg)
+    katz_alpha = 0.5 / float(
+        agg.groupBy("src").agg(_F.sum("w").alias("s"))
+        .agg(_F.max("s")).collect()[0][0]
+    )
+    katz_dir = tempfile.mkdtemp(prefix="bench_katz_")
+    t5b = time.monotonic()
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")  # tol=0.0 never "converges"
+        kz.run(alpha=katz_alpha, tol=0.0, max_iter=BENCH_SUPERSTEPS,
+               ckpt_dir=katz_dir)
+    timings["katz_superstep"] = round(
+        (time.monotonic() - t5b) / BENCH_SUPERSTEPS, 3
+    )
+    kz.unpersist()
+
     # BFS frontier expansion: 10 capped supersteps from 3 seeds (same
     # capping rationale as cc_delta — this graph's diameter makes
     # full convergence an O(diameter) affair)
