@@ -194,10 +194,15 @@ def main(argv: list[str] | None = None) -> dict:
 
         alpha = args.alpha
         if alpha is None:
-            alpha = 0.5 / float(
+            # max weighted out-degree bounds lambda_max; NULL when the
+            # edge table is empty (max of nothing) — any alpha works
+            # there, Katz short-circuits to the empty result itself
+            # (round-4 ADVICE: the bare float(...) raised TypeError).
+            smax = (
                 agg.groupBy("src").agg(F.sum("w").alias("s"))
                 .agg(F.max("s")).collect()[0][0]
             )
+            alpha = 0.1 if smax is None else 0.5 / float(smax)
         kz = Katz(spark, agg, num_partitions=args.partitions)
         out = kz.run(alpha=alpha, max_iter=args.max_iter, ckpt_dir=args.ckpt)
         manifest_algo = "katz"

@@ -86,12 +86,16 @@ class Katz:
     def _fingerprint(self, alpha: float, beta: float) -> int:
         """Problem-instance identity: edge set × (α, β). Floats are
         mixed via their IEEE bit patterns so 0.1 and a rounding
-        neighbor fingerprint differently."""
+        neighbor fingerprint differently. The 128-bit (α, β) pattern
+        is FOLDED to 64 bits before masking — masking the raw 128-bit
+        int would keep only β's low bits and let a checkpoint written
+        under a different α resume silently (round-4 ADVICE)."""
         import struct
 
         pbits = int.from_bytes(
             struct.pack(">dd", float(alpha), float(beta)), "big", signed=False
         )
+        pbits = (pbits >> 64) ^ (pbits & ((1 << 64) - 1))
         return mix_fingerprint(self.E, self._graph_h ^ (pbits & 0x7FFFFFFFFFFFFFFF))
 
     def run(

@@ -106,12 +106,18 @@ def modularity(spark: SparkSession, edges: DataFrame, labels: DataFrame) -> Data
             ).alias("intra2"),
         )
     )
+    # n_communities counts distinct labels of the PARTITION, not just
+    # labels owning an edge endpoint — a community of isolated (or
+    # self-loop-only) vertices contributes 0 to Q but still exists in
+    # the partition a consumer compares against (round-4 ADVICE; it
+    # contributes nothing to any Q term, so the scalar fold below is
+    # unchanged).
+    n_comm = lab.agg(F.count_distinct("label").alias("n_communities"))
     return per_c.agg(
-        F.count("*").alias("n_communities"),
         F.sum("intra2").alias("_i2"),
         F.sum("deg_sum").alias("_m2"),
         F.sum(F.col("deg_sum").cast("double") * F.col("deg_sum")).alias("_d2"),
-    ).select(
+    ).crossJoin(F.broadcast(n_comm)).select(
         F.try_divide(F.col("_i2"), F.col("_m2")).alias("_frac_intra"),
         "_m2",
         "_d2",

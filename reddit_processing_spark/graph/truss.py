@@ -151,7 +151,13 @@ def k_truss(
         n_edges = n_kept
         if dropped == 0:
             return e
-    if n_edges and n_edges > 0:
+    if n_edges is None:
+        # loop never executed: resume landed at round >= max_rounds.
+        # The checkpointed edge set is the state to return (round-4
+        # ADVICE: the old `if n_edges` gate silently returned an EMPTY
+        # frame here); one count decides empty-vs-budget-warning.
+        n_edges = e.count()
+    if n_edges > 0:
         import warnings
 
         warnings.warn(
@@ -159,9 +165,8 @@ def k_truss(
             "support fixpoint; the returned edge set may still shrink",
             stacklevel=2,
         )
-    return e.select("a", "b") if n_edges else spark.createDataFrame(
-        [], "a long, b long"
-    )
+        return e.select("a", "b")
+    return spark.createDataFrame([], "a long, b long")
 
 
 def _annotate(

@@ -504,3 +504,31 @@ def test_reciprocity_hand_checked(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     row0 = reciprocity(spark, empty).first()
     assert row0.reciprocity is None and row0.n_directed_edges == 0
+
+
+def test_modularity_counts_isolated_communities(spark):
+    """n_communities counts distinct labels of the PARTITION: a
+    community made solely of isolated vertices contributes 0 to Q but
+    must still be counted (round-4 ADVICE — the per-community edge
+    aggregate omitted it). networkx parity with the isolated node in
+    the graph confirms Q is untouched."""
+    import networkx as nx
+
+    from reddit_processing_spark.graph.metrics import modularity
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0), (3, 4, 1.0)],
+        "src long, dst long, w double",
+    )
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (99, 7)], "vid long, label long"
+    )
+    row = modularity(spark, e, labels).first()
+    g = nx.Graph([(1, 2), (2, 3), (1, 3), (3, 4)])
+    g.add_node(99)
+    want = nx.algorithms.community.modularity(
+        g, [{1, 2, 3}, {4}, {99}], weight=None
+    )
+    assert abs(row.modularity - want) < 1e-12
+    assert row.n_communities == 3
+    assert row.m_edges == 4

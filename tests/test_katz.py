@@ -119,3 +119,24 @@ def test_katz_divergence_raises(spark):
     with pytest.raises(ValueError, match="alpha"):
         katz_centrality(spark, k4, alpha=0.9, tol=1e-12, max_iter=60,
                         num_partitions=4)
+
+
+def test_katz_rejects_checkpoint_alpha_only_change(spark, agg_edges, katz_alpha, tmp_path):
+    """Changing ONLY alpha (same beta) must reject the checkpoint —
+    round-4 ADVICE: the unfolded 128-bit (α, β) pattern was masked to
+    its low 63 bits, dropping alpha from the fingerprint entirely, so
+    this exact case resumed silently."""
+    d = str(tmp_path / "shared")
+    k = Katz(spark, agg_edges, num_partitions=8)
+    try:
+        k.run(alpha=katz_alpha, beta=1.0, tol=1e-12, max_iter=500, ckpt_dir=d)
+        other = k.run(
+            alpha=katz_alpha / 2, beta=1.0, tol=1e-12, max_iter=500, ckpt_dir=d
+        ).toPandas().set_index("vid")["katz"]
+        fresh = k.run(
+            alpha=katz_alpha / 2, beta=1.0, tol=1e-12, max_iter=500,
+            ckpt_dir=str(tmp_path / "fresh"),
+        ).toPandas().set_index("vid")["katz"]
+    finally:
+        k.unpersist()
+    assert (other - fresh).abs().max() < 1e-12

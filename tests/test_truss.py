@@ -135,3 +135,23 @@ def test_k_truss_rejects_checkpoint_from_other_k(spark, dense_edges, tmp_path):
 def test_k_truss_rejects_bad_k(spark, dense_edges):
     with pytest.raises(ValueError, match="k must be"):
         k_truss(spark, dense_edges, k=1)
+
+
+def test_k_truss_resume_at_exhausted_round_budget(spark, cascade_edges, tmp_path):
+    """Resuming with start_round >= max_rounds must return the
+    CHECKPOINTED edge set with the round-budget warning — not an empty
+    frame (round-4 ADVICE: the loop never runs on this path, so the
+    old n_edges=None gate fell through to the empty branch)."""
+    part = str(tmp_path / "part")
+    with pytest.warns(UserWarning, match="round budget"):
+        capped = _edge_set(
+            k_truss(spark, cascade_edges, k=4, ckpt_dir=part, max_rounds=1,
+                    num_partitions=4)
+        )
+    assert capped  # round 1 kept a non-empty edge set
+    with pytest.warns(UserWarning, match="round budget"):
+        again = _edge_set(
+            k_truss(spark, cascade_edges, k=4, ckpt_dir=part, max_rounds=1,
+                    num_partitions=4)
+        )
+    assert again == capped
