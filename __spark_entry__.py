@@ -1075,8 +1075,29 @@ def _linkpred_top20(spark, pairs, cap=None):
 
 
 def _linkpred_uncapped(spark, sf):
-    """Bench identity: the round-3 uncapped top-20 (unchanged work)."""
+    """The exact (opt-out) top-20 — every common-neighbor pair
+    witnessed; this is the oracle-checked leg."""
     return _linkpred_top20(spark, _linkpred_pairs(spark, sf))
+
+
+def _linkpred_default(spark, sf):
+    """Bench identity: the DEFAULT call (max_wedge_degree='auto' —
+    derived degree cap, round-4 VERDICT #2). Measures what a user who
+    types nothing gets."""
+    from reddit_processing_spark.graph.linkpred import link_prediction_scores
+
+    scores, _ = link_prediction_scores(spark, _linkpred_pairs(spark, sf))
+    return (
+        scores.select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
 
 
 def _linkpred_capped(spark, sf):

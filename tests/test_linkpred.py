@@ -91,6 +91,33 @@ def test_linkpred_stats_are_lazy(spark, agg_edges, nx_graph):
     n_hubs = sum(1 for v in nx_graph if nx_graph.degree(v) > cap)
     assert stats["hubs_dropped"] == n_hubs    # computed on first read
     assert dict(stats)["hubs_dropped"] == n_hubs  # ...and cached
-    # uncapped path: eagerly zero, no thunk at all
-    _, st0 = link_prediction_scores(spark, agg_edges)
+    # explicit opt-out path: eagerly zero, no thunk at all
+    _, st0 = link_prediction_scores(spark, agg_edges, max_wedge_degree=None)
     assert dict(st0) == {"hubs_dropped": 0}
+
+
+def test_linkpred_auto_cap_drops_hub(spark):
+    """The DEFAULT call derives a degree cap (max(ceil(p99.9), 128))
+    instead of running the full Σ deg(z)² wedge join (round-4
+    VERDICT). A 200-leaf star's hub exceeds both the quantile and the
+    floor, so the default drops it — every leaf pair's only witness —
+    while the explicit None opt-out keeps the exact semantics."""
+    rows = [(0, i, 1.0) for i in range(1, 201)]
+    star = spark.createDataFrame(rows, "src long, dst long, w double")
+
+    exact, st_none = link_prediction_scores(spark, star, max_wedge_degree=None)
+    assert exact.count() == 200 * 199 // 2  # all leaf pairs, via the hub
+    assert dict(st_none) == {"hubs_dropped": 0}
+
+    capped, st_auto = link_prediction_scores(spark, star)
+    assert st_auto["wedge_degree_cap"] >= 128  # derived, floor respected
+    assert st_auto["wedge_degree_cap"] < 200   # ...but below the hub degree
+    assert st_auto["hubs_dropped"] == 1
+    assert capped.count() == 0  # no non-hub witnesses exist
+
+    # pinning the cap above the hub degree restores exactness
+    pinned, _ = link_prediction_scores(spark, star, max_wedge_degree=200)
+    assert pinned.count() == 200 * 199 // 2
+
+    with pytest.raises(ValueError, match="auto"):
+        link_prediction_scores(spark, star, max_wedge_degree="p99")
