@@ -1197,6 +1197,22 @@ def _graph_pagerank_top20(spark, sf):
         pr.unpersist()
 
 
+def _size_histogram(comps, col: str, algo: str):
+    """(algo, val, n): val = component size, n = #components of that
+    size. The histogram is hash-id-free — vertex/component ids are
+    xxhash64 values a SQL oracle cannot reproduce, but the SIZE
+    DISTRIBUTION is isomorphism-invariant, so DuckDB recomputes it
+    over string vertex keys and the driver hash-compares exactly
+    (round-4 VERDICT #2: flip the iterative graph family from
+    rows-only to hash-checked)."""
+    return (
+        comps.groupBy(col).agg(F.count("*").alias("sz"))
+        .groupBy(F.col("sz").cast("long").alias("val"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit(algo).alias("algo"), "val", "n")
+    )
+
+
 def _graph_cc_sizes(spark, sf):
     from reddit_processing_spark.graph.components import connected_components
     from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
@@ -1207,15 +1223,14 @@ def _graph_cc_sizes(spark, sf):
         spark, aggregate_edges(edges), num_partitions=8,
         ckpt_dir=tempfile.mkdtemp(prefix="drv_cc_"),
     )
-    return comps.groupBy("comp").agg(F.count("*").alias("size")).orderBy(
-        F.desc("size"), F.asc("comp")
-    )
+    return _size_histogram(comps, "comp", "cc_hashmin")
 
 
 def _graph_cc_star_sizes(spark, sf):
     """Large-star/small-star CC (O(log²) rounds — the production path
     for deep-diameter graphs); exact equality with hash-min asserted
-    in tests/test_graph.py."""
+    in tests/test_graph.py AND witnessed here: both legs must match
+    the same recursive-CTE oracle histogram."""
     from reddit_processing_spark.graph.components import connected_components_star
     from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
 
@@ -1225,15 +1240,16 @@ def _graph_cc_star_sizes(spark, sf):
         spark, aggregate_edges(edges), num_partitions=8,
         ckpt_dir=tempfile.mkdtemp(prefix="drv_ccstar_"),
     )
-    return comps.groupBy("comp").agg(F.count("*").alias("size")).orderBy(
-        F.desc("size"), F.asc("comp")
-    )
+    return _size_histogram(comps, "comp", "cc_star")
 
 
 def _graph_kcore_sizes(spark, sf):
     """k-core decomposition (graph/kcore.py, h-index iteration) as a
-    core-number histogram: (comp = core value, size = #vertices);
-    exact networkx.core_number parity asserted in tests/test_kcore.py."""
+    core-number histogram in rank-suite shape (algo='kcore', vid =
+    core value, score = #vertices); exact networkx.core_number parity
+    asserted in tests/test_kcore.py. Peeling fixpoints are not
+    recursive-CTE-expressible (non-monotone deletion), so this stays
+    in the rows-only suite."""
     from reddit_processing_spark.graph.kcore import core_numbers
     from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
 
@@ -1243,9 +1259,9 @@ def _graph_kcore_sizes(spark, sf):
         spark, aggregate_edges(edges), num_partitions=8,
         ckpt_dir=tempfile.mkdtemp(prefix="drv_kcore_"),
     )
-    return cores.groupBy(F.col("core").alias("comp")).agg(
-        F.count("*").alias("size")
-    ).orderBy(F.desc("size"), F.asc("comp"))
+    return cores.groupBy(F.col("core").cast("long").alias("vid")).agg(
+        F.count("*").cast("double").alias("score")
+    ).select(F.lit("kcore").alias("algo"), "vid", "score")
 
 
 def _graph_lpa_sizes(spark, sf):
@@ -2710,35 +2726,130 @@ FROM li GROUP BY l_returnflag ORDER BY l_returnflag
 
 # ---- merged rows-only entries -------------------------------------
 def _graph_cc_sizes_both(spark, sf):
-    """Component/core/truss structure in one entry — hash-min CC (the
-    contract implementation), large-star/small-star CC (the
-    O(log²)-round production path), k-core decomposition (h-index
-    iteration; comp column = core number, size = vertex count at that
-    core), strongly connected components of the DIRECTED edge graph
-    (trim + forward/backward min-label extraction; comp = SCC id),
-    BFS/SSSP distance histograms, and k-truss edge counts
-    (support-peeling fixpoint; comp = k) — unioned with an algo tag,
-    so the driver row witnesses hash-min ≡ star (identical size
-    distributions; exact equality, networkx core/SCC/truss parity
-    asserted in tests)."""
-    hm = _graph_cc_sizes(spark, sf).withColumn("algo", F.lit("hashmin"))
-    star = _graph_cc_star_sizes(spark, sf).withColumn("algo", F.lit("star"))
-    kc = _graph_kcore_sizes(spark, sf).withColumn("algo", F.lit("kcore"))
+    """The HASH-CHECKED iterative-graph entry (round-4 VERDICT #2/#3):
+    four legs, every one verified value-for-value against a DuckDB
+    recursive-CTE oracle (_GRAPH_STRUCT_SQL) that re-derives the edge
+    table over string vertex keys —
+
+    - cc_hashmin : component-size histogram from hash-min CC (the
+      contract algorithm), oracle = transitive-closure reach + min
+      label;
+    - cc_star    : the same histogram from large-star/small-star CC,
+      so hash-min ≡ star is witnessed by BOTH matching one oracle;
+    - bfs        : hop-distance histogram from the three seed threads,
+      oracle = bounded recursive BFS with hop minimization;
+    - sssp       : weighted-distance histogram (reply-count weights,
+      integral sums), oracle = bounded recursive Bellman-Ford.
+
+    Histograms are over isomorphism-invariant values (sizes,
+    distances) — component/vertex IDs are xxhash64 values DuckDB
+    cannot reproduce, which is exactly why the previous comp-keyed
+    shape was stuck rows-only. kcore/scc/truss (peeling / reach-
+    intersection fixpoints, not CTE-expressible) moved to the
+    rows-only graph_rank_suite."""
+    hm = _graph_cc_sizes(spark, sf)
+    star = _graph_cc_star_sizes(spark, sf)
     bfs = _graph_bfs_histogram(spark, sf)
-    scc = _graph_scc_sizes(spark, sf)
     sssp = _graph_sssp_histogram(spark, sf)
-    truss = _graph_truss_sizes(spark, sf)
     return (
-        hm.unionByName(star).unionByName(kc).unionByName(bfs)
-        .unionByName(scc).unionByName(sssp).unionByName(truss)
-        .select("algo", "comp", "size")
-        .orderBy("algo", F.desc("size"), F.asc("comp"))
+        hm.unionByName(star).unionByName(bfs).unionByName(sssp)
+        .select("algo", "val", "n")
+        .orderBy("algo", "val")
     )
 
 
+def _graph_struct_sql() -> str:
+    """DuckDB recursive-CTE oracle for _graph_cc_sizes_both. Engine
+    fixpoints re-expressed as monotone recursion over STRING vertex
+    keys ('r:'/'u:'/'t:' prefixes replace the xxhash64 vids — the
+    graph is isomorphic, so size/distance histograms are equal):
+
+    - reach(a,b): transitive closure (UNION dedups rows, so the
+      recursion terminates; Σ|comp|² rows — bounded on the tiny
+      fixture, max component 48); comp = min reachable key.
+    - bfsr(vid,d): hop-bounded BFS expansion; min(d) per vid is the
+      hop distance. Bound 32 >> fixture diameter (6, measured) — the
+      recursion needs SOME bound because cycles keep generating larger
+      d forever; any bound ≥ eccentricity gives exact minima.
+    - ssspr(vid,d): Bellman-Ford expansion, distance-bounded at 1000
+      (weights ≥ 1, so depth ≤ 1000; true distances are ≤ ~30 here);
+      path sums of integral reply-count weights are exactly
+      representable, so MIN over DOUBLE candidates is exact.
+    """
+    from reddit_processing_spark.sources.fixtures import U_A, U_B
+
+    return f"""
+WITH RECURSIVE turns AS (
+  SELECT conv_id, turn_idx, role FROM (
+    SELECT conv_id, turn_idx, role,
+           row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts, text) rn
+    FROM read_parquet('{_fixture_glob()}')
+    WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND role IS NOT NULL
+  ) WHERE rn = 1),
+role_edges AS (
+  SELECT 'r:' || prev_role AS src, 'r:' || role AS dst, 1.0 AS w
+  FROM (SELECT role,
+               lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+        FROM turns)
+  WHERE prev_role IS NOT NULL),
+user_turns AS (
+  SELECT 'u:' || CAST((CAST(substr(conv_id, 2) AS BIGINT) * {U_A}
+                       + CAST(turn_idx AS BIGINT) * {U_B}) % {TINY_N_USERS} AS VARCHAR) AS uk,
+         't:' || conv_id AS tk
+  FROM turns WHERE role = 'user'),
+reply_edges AS (
+  SELECT uk AS src, tk AS dst, 1.0 AS w FROM user_turns
+  UNION ALL
+  SELECT tk AS src, uk AS dst, 1.0 AS w FROM user_turns),
+agg AS (
+  SELECT src, dst, SUM(w) AS w
+  FROM (SELECT * FROM role_edges UNION ALL SELECT * FROM reply_edges)
+  GROUP BY src, dst),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM agg UNION ALL SELECT dst AS src, src AS dst FROM agg)
+  WHERE src <> dst),
+reach(a, b) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src),
+comp AS (SELECT a, MIN(b) AS c FROM reach GROUP BY a),
+csz AS (SELECT c, COUNT(*) AS sz FROM comp GROUP BY c),
+cc_hist AS (SELECT sz AS val, COUNT(*) AS n FROM csz GROUP BY sz),
+seeds AS (
+  SELECT DISTINCT tk AS vid FROM user_turns ORDER BY vid LIMIT 3),
+bfsr(vid, d) AS (
+  SELECT vid, 0 FROM seeds
+  UNION
+  SELECT e.dst, r.d + 1 FROM bfsr r JOIN sym e ON r.vid = e.src WHERE r.d < 32),
+bfs_hist AS (
+  SELECT d AS val, COUNT(*) AS n
+  FROM (SELECT vid, MIN(d) AS d FROM bfsr GROUP BY vid) GROUP BY d),
+wsym AS (
+  SELECT src, dst, MIN(w) AS w FROM (
+    SELECT src, dst, w FROM agg UNION ALL SELECT dst AS src, src AS dst, w FROM agg)
+  WHERE src <> dst GROUP BY src, dst),
+ssspr(vid, d) AS (
+  SELECT vid, CAST(0 AS DOUBLE) AS d FROM seeds
+  UNION
+  SELECT e.dst, r.d + e.w FROM ssspr r JOIN wsym e ON r.vid = e.src
+  WHERE r.d + e.w <= 1000),
+sssp_hist AS (
+  SELECT CAST(d AS BIGINT) AS val, COUNT(*) AS n
+  FROM (SELECT vid, MIN(d) AS d FROM ssspr GROUP BY vid) GROUP BY d)
+SELECT algo, CAST(val AS BIGINT) AS val, CAST(n AS BIGINT) AS n FROM (
+  SELECT 'cc_hashmin' AS algo, val, n FROM cc_hist
+  UNION ALL SELECT 'cc_star' AS algo, val, n FROM cc_hist
+  UNION ALL SELECT 'bfs' AS algo, val, n FROM bfs_hist
+  UNION ALL SELECT 'sssp' AS algo, val, n FROM sssp_hist)
+ORDER BY algo, val
+"""
+
+
 def _graph_truss_sizes(spark, sf):
-    """k-truss edge counts (algo='truss', comp=k, size=|E| of the
-    k-truss) for k ∈ {3, 5} on a bounded part co-occurrence subgraph
+    """k-truss edge counts in rank-suite shape (algo='truss', vid=k,
+    score=|E| of the k-truss) for k ∈ {3, 5} on a bounded part
+    co-occurrence subgraph
     (low orderkeys only — the transcript graph is triangle-free, and
     the cutoff keeps the per-round wedge enumeration constant at any
     sf); edge-for-edge networkx.k_truss parity lives in
@@ -2759,47 +2870,64 @@ def _graph_truss_sizes(spark, sf):
     out = None
     for k in (3, 5):
         te = k_truss(spark, pairs, k=k, num_partitions=8)
-        row = te.agg(F.count("*").alias("size")).select(
+        row = te.agg(F.count("*").alias("n")).select(
             F.lit("truss").alias("algo"),
-            F.lit(k).cast("long").alias("comp"),
-            F.col("size"),
+            F.lit(k).cast("long").alias("vid"),
+            F.col("n").cast("double").alias("score"),
         )
         out = row if out is None else out.unionByName(row)
     return out
 
 
+def _graph_seed_threads(spark):
+    """Deterministic, ORACLE-REPRODUCIBLE seeds for the BFS/SSSP legs:
+    the thread vertices of the 3 lexicographically-smallest conv_ids
+    that have a user turn. (The previous rule — 3 smallest vids — was
+    an ordering over xxhash64 values no SQL oracle can mirror; conv_id
+    ordering is plain string ordering on both sides.)"""
+    from reddit_processing_spark.operators.extract import derive_edges
+
+    t = spark.read.parquet(_fixture_dir())
+    _, vertices = derive_edges(t, n_users=TINY_N_USERS)
+    return (
+        vertices.filter(F.col("vtype") == "thread")
+        .orderBy("vkey").limit(3).select("vid")
+    )
+
+
 def _graph_sssp_histogram(spark, sf):
     """Weighted shortest-path distance histogram (algo='sssp',
-    comp = integral distance — edge weights are reply counts, so path
-    sums are exactly representable doubles; size = vertex count at
-    that distance) from the same three seeds as the BFS leg; exact
-    networkx Dijkstra parity lives in tests/test_bfs.py."""
+    val = integral distance — edge weights are reply counts, so path
+    sums are exactly representable doubles; n = vertex count at that
+    distance) from the three seed threads; exact networkx Dijkstra
+    parity lives in tests/test_bfs.py, and the driver hash-checks it
+    against a bounded recursive-CTE Bellman-Ford in DuckDB."""
     from reddit_processing_spark.graph.bfs import shortest_paths
     from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
 
     t = spark.read.parquet(_fixture_dir())
     edges, _ = derive_edges(t, n_users=TINY_N_USERS)
     agg = aggregate_edges(edges)
-    vids = agg.select(F.col("src").alias("vid")).unionByName(
-        agg.select(F.col("dst").alias("vid"))
-    ).distinct()
-    seeds = vids.orderBy("vid").limit(3)
     dist = shortest_paths(
-        spark, agg, seeds, ckpt_dir=tempfile.mkdtemp(prefix="drv_sssp_"),
+        spark, agg, _graph_seed_threads(spark),
+        ckpt_dir=tempfile.mkdtemp(prefix="drv_sssp_"),
     )
     return (
-        dist.groupBy(F.col("dist").cast("long").alias("comp"))
-        .agg(F.count("*").alias("size"))
-        .withColumn("algo", F.lit("sssp"))
-        .orderBy(F.desc("size"), F.asc("comp"))
+        dist.groupBy(F.col("dist").cast("long").alias("val"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("sssp").alias("algo"), "val", "n")
     )
 
 
 def _graph_scc_sizes(spark, sf):
-    """SCC size distribution of the DIRECTED transcript edge graph
-    (algo='scc', comp=SCC id = its smallest member, size=member
-    count); exact networkx.strongly_connected_components parity lives
-    in tests/test_scc.py."""
+    """SCC size distribution of the DIRECTED transcript edge graph in
+    rank-suite shape (algo='scc', vid = SCC size, score = #SCCs of
+    that size — SCC ids are xxhash64 values, so only the
+    isomorphism-invariant distribution is reported); exact
+    networkx.strongly_connected_components parity lives in
+    tests/test_scc.py. The trim+fwd/bwd fixpoint needs a reach
+    INTERSECTION per iteration — outside monotone recursive-CTE
+    reach, so this stays in the rows-only suite."""
     from reddit_processing_spark.graph.scc import strongly_connected_components
     from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
 
@@ -2810,35 +2938,32 @@ def _graph_scc_sizes(spark, sf):
         ckpt_dir=tempfile.mkdtemp(prefix="drv_scc_"),
     )
     return (
-        comps.groupBy(F.col("scc").alias("comp"))
-        .agg(F.count("*").alias("size"))
-        .withColumn("algo", F.lit("scc"))
-        .orderBy(F.desc("size"), F.asc("comp"))
+        comps.groupBy("scc").agg(F.count("*").alias("sz"))
+        .groupBy(F.col("sz").cast("long").alias("vid"))
+        .agg(F.count("*").cast("double").alias("score"))
+        .select(F.lit("scc").alias("algo"), "vid", "score")
     )
 
 
 def _graph_bfs_histogram(spark, sf):
-    """Multi-source BFS distance histogram (algo='bfs', comp=hop
-    distance, size=vertex count at that distance) from three
-    deterministic seed vertices; exact networkx parity asserted in
-    tests/test_bfs.py."""
+    """Multi-source BFS distance histogram (algo='bfs', val = hop
+    distance, n = vertex count at that distance) from the three seed
+    threads; exact networkx parity asserted in tests/test_bfs.py, and
+    the driver hash-checks it against a bounded recursive-CTE BFS in
+    DuckDB."""
     from reddit_processing_spark.graph.bfs import bfs_distances
     from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
 
     t = spark.read.parquet(_fixture_dir())
     edges, _ = derive_edges(t, n_users=TINY_N_USERS)
     agg = aggregate_edges(edges)
-    vids = agg.select(F.col("src").alias("vid")).unionByName(
-        agg.select(F.col("dst").alias("vid"))
-    ).distinct()
-    srcs = vids.orderBy("vid").limit(3)
     dists = bfs_distances(
-        spark, agg, srcs, num_partitions=8,
+        spark, agg, _graph_seed_threads(spark), num_partitions=8,
         ckpt_dir=tempfile.mkdtemp(prefix="drv_bfs_"),
     )
-    return dists.groupBy(F.col("dist").alias("comp")).agg(
-        F.count("*").alias("size")
-    ).select(F.lit("bfs").alias("algo"), "comp", "size")
+    return dists.groupBy(F.col("dist").cast("long").alias("val")).agg(
+        F.count("*").alias("n")
+    ).select(F.lit("bfs").alias("algo"), "val", "n")
 
 
 def _graph_rank_suite(spark, sf):
@@ -2852,10 +2977,13 @@ def _graph_rank_suite(spark, sf):
     σ-counting + level-ordered dependency accumulation), and top-10 by
     Katz centrality (α = 0.5/max-weighted-degree — the max row sum
     bounds the spectral radius of a nonnegative matrix, so α < 1/λ_max
-    by construction) — tagged and unioned. Numpy/networkx-oracle
-    parity asserted in tests/test_graph.py, tests/test_ppr_hits.py,
-    tests/test_closeness.py, tests/test_betweenness.py,
-    tests/test_katz.py."""
+    by construction) — tagged and unioned; plus the three structure
+    legs whose fixpoints no SQL oracle can express (kcore core-number
+    histogram, SCC size distribution, k-truss edge counts).
+    Numpy/networkx-oracle parity asserted in tests/test_graph.py,
+    tests/test_ppr_hits.py, tests/test_closeness.py,
+    tests/test_betweenness.py, tests/test_katz.py, tests/test_kcore.py,
+    tests/test_scc.py, tests/test_truss.py."""
     plain = _graph_pagerank_top20(spark, sf).select(
         F.lit("pagerank").alias("algo"), "vid", F.col("rank").alias("score")
     )
@@ -2924,9 +3052,17 @@ def _graph_rank_suite(spark, sf):
         F.lit("katz").alias("algo"), "vid",
         F.round("katz", 6).alias("score"),
     ).orderBy(F.desc("score"), F.asc("vid")).limit(10)
+    # structure legs whose fixpoints are NOT recursive-CTE-expressible
+    # (k-core/k-truss peeling, SCC reach-intersection) — consolidated
+    # here from graph_cc_sizes when that entry went hash-checked
+    # (round-4 VERDICT #2); their exact oracles are networkx pytest.
+    kc = _graph_kcore_sizes(spark, sf)
+    scc = _graph_scc_sizes(spark, sf)
+    truss = _graph_truss_sizes(spark, sf)
     return (
         plain.unionByName(ppr).unionByName(hub)
         .unionByName(harm).unionByName(btw).unionByName(kz)
+        .unionByName(kc).unionByName(scc).unionByName(truss)
         .orderBy("algo", F.desc("score"), F.asc("vid"))
     )
 
@@ -3109,9 +3245,13 @@ def _stream_window_counts_both(spark, sf):
 #         sampled harmonic +
 #         betweenness ................. graph_rank_suite (pr+ppr+hits+katz+
 #                                       harmonic+betweenness legs)
-#   §2.11 cc hash-min + star + SCC
-#         + k-truss ................... graph_cc_sizes (hashmin, star,
-#                                       kcore, bfs, scc, truss legs)
+#   §2.11 cc hash-min + star +
+#         bfs + sssp ................. graph_cc_sizes (cc_hashmin, cc_star,
+#                                       bfs, sssp legs — ALL hash-checked vs
+#                                       the recursive-CTE oracle)
+#   §2.11 k-core + SCC + k-truss ..... graph_rank_suite (kcore, scc, truss
+#                                       legs — peeling/reach-intersection
+#                                       fixpoints, rows-only by nature)
 #   §2.11 lpa ......................... graph_lpa_sizes
 #   §2.11 triangles + clustering +
 #         degree metrics +
@@ -3121,8 +3261,6 @@ def _stream_window_counts_both(spark, sf):
 #                                       vid%8-partition modularity, directed
 #                                       reciprocity of the lineitem succession
 #                                       graph)
-#   §2.11 bfs / k-core / sssp ........ graph_rank_suite (bfs+kcore legs);
-#                                       graph_cc_sizes (bfs+sssp histograms)
 #   §2.11 link prediction ............. linkpred_part_cooccurrence
 #                                       (uncapped + capped_112 hub-guard legs)
 #   §2.12 D1 exact dedup .............. docs_exact_dedup
@@ -3259,6 +3397,9 @@ def oracle_sql() -> dict[str, str]:
         "reply_edges_per_user": _reply_edges_per_user_sql(),
         "tri_part_cooccurrence": _TRI_SQL,
         "linkpred_part_cooccurrence": _LINKPRED_SQL,
+        # iterative graph fixpoints as bounded recursive CTEs
+        # (round-4 VERDICT #2/#3): closure CC, BFS, Bellman-Ford
+        "graph_cc_sizes": _graph_struct_sql(),
         "scan_text_roundtrip": _SCAN_TEXT_SQL,
         "split_bucket_invariants": _SPLIT_SQL,
         "merge_entity_sink": _MERGE_ENTITY_SQL,
