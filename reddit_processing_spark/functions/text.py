@@ -43,8 +43,12 @@ def token_count(text: Column | str) -> Column:
 
 def bpe_token_count(text: Column | str) -> Column:
     """Count of BPE-ish subword units (letter runs / digit runs /
-    single symbols) — a cheap, deterministic proxy for tokenizer
-    budgeting."""
+    single symbols) — a cheap, deterministic, pure-Column proxy for
+    tokenizer budgeting. For TRUE byte-pair-encoding counts (what
+    sequence-packing boundaries should use), see
+    functions/bpe.bpe_token_count_exact — a real trained-merges BPE
+    behind the Arrow-UDF seam; this regex stays the zero-Python
+    fallback that fuses into the scan."""
     c = F.col(text) if isinstance(text, str) else text
     return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0)).cast("long")
 
