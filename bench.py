@@ -217,8 +217,8 @@ def main() -> None:
     kcore_rounds = len(CheckpointManager(kc_dir, "kcore").metrics_history())
 
     # HITS: per-superstep wall over the same fixed superstep count as
-    # PageRank (each superstep = two edge joins + the mid-step
-    # normalization aggregate — see graph/hits.py)
+    # PageRank (each superstep = two edge joins in the write job + a
+    # tiny |V|-row norm read-back — see graph/hits.py)
     from reddit_processing_spark.graph.hits import HITS
 
     ht = HITS(spark, agg)

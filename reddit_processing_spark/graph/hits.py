@@ -16,11 +16,16 @@ join) and once by ``dst`` (consumed by the h-step join) — and both
 persisted copies are reused every superstep, so each superstep's wide
 exchanges are only the two |V|-row state shuffles into the joins
 (SHUFFLE_HASH-hinted: the persisted edge sides never re-shuffle) and
-the two message groupBys. Unlike PageRank's single scalar pair, HITS
-needs the two normalization sums *mid-superstep* (the delta column is
-a function of h_raw/Σh_raw), so each superstep runs one |V|-row
-aggregate job over the persisted raw state before the checkpoint
-write — a second job per superstep whose input never grows with |E|.
+the two message groupBys. The state is stored RAW: the expensive
+superstep lineage runs exactly once (inside the checkpoint write),
+and the L1 norm scalars are then read back by a tiny deterministic
+aggregate over the written |V|-row parquet, becoming literal divisors
+in the NEXT superstep's plan — the Katz pattern, minus the old
+full-lineage normalization job. (The scalars deliberately do NOT come
+from the write's Observation: CollectMetrics merges in task-completion
+order, whose ULP wobble would break bit-identical resume.) The
+convergence delta is observed one superstep late — at most one extra
+superstep past tol.
 
 No driver-side state grows with |V| or |E|; checkpoints truncate
 lineage and stamp the graph fingerprint so resume rejects state from
@@ -94,21 +99,43 @@ class HITS:
         if self.V == 0:
             return self.spark.createDataFrame([], "vid long, hub double, auth double")
 
+        # Katz-shaped superstep (round-4 VERDICT #5): the checkpoint
+        # stores RAW (unnormalized) hub/auth plus the previous step's
+        # NORMALIZED hub; the L1 norm scalars (sh, sa) ride the write
+        # job's Observation into the manifest instead of costing a
+        # dedicated |V|-row aggregate job per superstep. Normalization
+        # is applied as literal divisions when the next superstep's
+        # plan is built (bit-identical arithmetic to the old eager
+        # divide — same h_raw/lit(sh) expression, one step later), and
+        # the convergence delta Σ|hub_n(t) − hub_n(t−1)| is therefore
+        # observed one superstep LATE: the loop runs at most one extra
+        # superstep past convergence, in exchange for halving the job
+        # count of every superstep.
         start_step = 0
+        # virtual step-0 state: hub uniform (already L1-normalized →
+        # sh=1), auth 0 (sa=1 is a never-used divisor), prev_hub_n =
+        # hub so the first observed delta is Σ|hub_n(1) − hub(0)|.
         state = self.vertices.select(
             "vid",
             F.lit(1.0 / self.V).alias("hub"),
             F.lit(0.0).alias("auth"),
-            F.lit(0.0).alias("dstep"),
+            F.lit(1.0 / self.V).alias("prev_hub_n"),
         )
+        sh, sa = 1.0, 1.0
         if resume:
             last = ckpt.latest_valid_step()
             if last is not None:
                 cand = ckpt.read(self.spark, last)
-                required = {"vid", "hub", "auth", "dstep"}
+                required = {"vid", "hub", "auth", "prev_hub_n"}
                 if set(cand.columns) == required:
                     start_step = last
                     state = cand
+                    # recompute the norm scalars from the checkpoint
+                    # itself — the SAME deterministic aggregate the
+                    # original run used over the SAME parquet, so a
+                    # resumed run's literal divisors (and therefore
+                    # every downstream double) are bit-identical
+                    sh, sa = self._norm_sums(cand)
                 else:
                     import warnings
 
@@ -119,9 +146,13 @@ class HITS:
                         stacklevel=2,
                     )
 
+        from pyspark.sql import Observation
+
         for step in range(start_step, max_iter):
             t0 = time.monotonic()
-            h = state.select("vid", "hub")
+            # normalize LAST step's raw hub with the known scalar —
+            # a literal division, not a job
+            h = state.select("vid", (F.col("hub") / F.lit(sh)).alias("hub_n"))
             # a ← Aᵀh : edges(src-partitioned) ⋈ h on src, sum by dst.
             # The grouped key is renamed (dst → avid) so the next join
             # against e_dst.dst is between DISTINCT attributes — both
@@ -130,7 +161,7 @@ class HITS:
             a_raw = (
                 self.e_src.join(h.hint("SHUFFLE_HASH"), self.e_src.src == h.vid)
                 .groupBy("dst")
-                .agg(F.sum(F.col("hub") * F.col("w")).alias("a_raw"))
+                .agg(F.sum(F.col("hub_n") * F.col("w")).alias("a_raw"))
                 .withColumnRenamed("dst", "avid")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
@@ -142,8 +173,12 @@ class HITS:
                 .groupBy("src")
                 .agg(F.sum(F.col("a_raw") * F.col("w")).alias("h_raw"))
             )
-            prev = state.select("vid", F.col("hub").alias("hub_prev"))
-            raw = (
+            prev = state.select(
+                "vid",
+                (F.col("hub") / F.lit(sh)).alias("hub_n_prev"),
+                "prev_hub_n",
+            )
+            new_state = (
                 prev.join(h_raw.hint("SHUFFLE_HASH"), prev.vid == h_raw.src, "left")
                 .drop("src")
                 .join(
@@ -153,60 +188,83 @@ class HITS:
                 )
                 .select(
                     "vid",
-                    "hub_prev",
-                    F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("h_raw"),
-                    F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("a_raw"),
+                    F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("hub"),
+                    F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("auth"),
+                    F.col("hub_n_prev").alias("prev_hub_n"),
+                    # LAST superstep's convergence delta, observable
+                    # now that sh is a known literal
+                    F.abs(F.col("hub_n_prev") - F.col("prev_hub_n")).alias("_dprev"),
                 )
-                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            sums = raw.agg(
-                F.sum("h_raw").alias("sh"), F.sum("a_raw").alias("sa")
-            ).collect()[0]
-            sh, sa = float(sums["sh"] or 0.0), float(sums["sa"] or 0.0)
+            obs = Observation(f"hits_step_{step + 1}")
+            observed = new_state.observe(
+                obs, F.sum("_dprev").alias("delta_prev")
+            ).drop("_dprev")
+            written = ckpt.write(observed, step + 1)
+            delta_prev = float(obs.get["delta_prev"] or 0.0)
+            # fed-back scalars come from a deterministic aggregate over
+            # the just-written |V|-row checkpoint, NOT the Observation:
+            # CollectMetrics merges task updates in completion order,
+            # so its float sums wobble at the ULP across runs — fine
+            # for the diagnostic delta, fatal for a literal divisor
+            # that must make resume bit-identical. The read-back agg
+            # costs one tiny job over checkpoint parquet (the expensive
+            # superstep lineage ran once, in the write).
+            sh, sa = self._norm_sums(written)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            self._annotate_manifest(ckpt, step + 1, delta_prev, sh, sa, wall_ms)
+            a_raw.unpersist()
+            state = written
             if sh <= 0 or sa <= 0:
                 # no mass flows (edge-less graph slipped through) —
                 # degenerate; report zeros rather than divide by zero.
-                raw.unpersist()
-                a_raw.unpersist()
                 return state.select(
                     "vid", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
                 )
-            hub_n = F.col("h_raw") / F.lit(sh)
-            new_state = raw.select(
-                "vid",
-                hub_n.alias("hub"),
-                (F.col("a_raw") / F.lit(sa)).alias("auth"),
-                F.abs(hub_n - F.col("hub_prev")).alias("dstep"),
-            )
-            from pyspark.sql import Observation
-
-            obs = Observation(f"hits_step_{step + 1}")
-            observed = new_state.observe(obs, F.sum("dstep").alias("delta"))
-            written = ckpt.write(observed, step + 1)
-            delta = float(obs.get["delta"])
-            wall_ms = int((time.monotonic() - t0) * 1000)
-            self._annotate_manifest(ckpt, step + 1, delta, wall_ms)
-            a_raw.unpersist()
-            raw.unpersist()
-            state = written
-            if delta < tol:
+            # delta_prev measures superstep `step` (one behind). It is
+            # genuine everywhere except the virtual step-0 init, whose
+            # prev_hub_n equals hub by construction (delta 0) — so the
+            # guard is on absolute step, keeping a resumed run's
+            # break schedule identical to an uninterrupted one.
+            if step > 0 and delta_prev < tol:
                 break
-        return state.select("vid", "hub", "auth")
+        return state.select(
+            "vid",
+            (F.col("hub") / F.lit(sh)).alias("hub"),
+            (F.col("auth") / F.lit(sa)).alias("auth"),
+        )
 
     @staticmethod
-    def _annotate_manifest(ckpt: CheckpointManager, step: int, delta: float, wall_ms: int) -> None:
+    def _annotate_manifest(
+        ckpt: CheckpointManager, step: int, delta: float,
+        sh: float, sa: float, wall_ms: int,
+    ) -> None:
+        """delta = the PREVIOUS superstep's L1 hub change; sh/sa = this
+        step's raw norm sums (resume needs them to rebuild the literal
+        divisors — json float roundtrip is exact, so a resumed run's
+        arithmetic is bit-identical)."""
         import json
         import os
 
         p = ckpt.manifest_path(step)
         with open(p) as fh:
             m = json.load(fh)
-        m["metrics"] = {"delta": delta}
+        m["metrics"] = {"delta": delta, "sh": sh, "sa": sa}
         m["wall_ms"] = wall_ms
         tmp = p + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(m, fh)
         os.rename(tmp, p)
+
+    @staticmethod
+    def _norm_sums(state: DataFrame) -> tuple[float, float]:
+        """Deterministic (Σ hub_raw, Σ auth_raw) over a checkpointed
+        state — partial aggregation per file split merged in map
+        order, so the same parquet always yields the same doubles."""
+        row = state.agg(
+            F.sum("hub").alias("sh"), F.sum("auth").alias("sa")
+        ).collect()[0]
+        return float(row["sh"] or 0.0), float(row["sa"] or 0.0)
 
     def unpersist(self) -> None:
         dfs = [self.vertices, self.e_src, self.e_dst]
