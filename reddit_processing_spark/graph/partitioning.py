@@ -71,3 +71,38 @@ def resolve_partitions(
     if num_partitions:
         return int(num_partitions)
     return clamp_partitions(spark, edges.count(), None, target_rows)
+
+
+def setup_scan(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_partitions: int | None,
+    cols: tuple[str, ...] = ("src", "dst"),
+    sym_factor: int = 2,
+) -> tuple[int, int]:
+    """(partitions, fingerprint) from ONE aggregate over the raw edge
+    input — the single-setup-scan pattern (round-4 VERDICT #1): the
+    fingerprint aggregate computes the row count partition sizing
+    needs, so the old separate ``count()`` job (which re-evaluated the
+    whole unpersisted extraction lineage) disappears, and the
+    symmetrize/canonicalize + repartition + persist materialize lazily
+    inside superstep 1 instead of in a dedicated warm-up job.
+
+    ``sym_factor`` scales the raw count to the table the loop actually
+    shuffles (2 for symmetrized undirected views). The fingerprint
+    identifies the RAW input rather than the canonical edge set — a
+    stricter identity, so the only possible false outcome at resume is
+    a harmless restart, never a wrong acceptance."""
+    from pyspark.sql import functions as F
+
+    from ..plans.ckpt import mix_fingerprint
+
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64(*cols)), F.lit(0)).alias("h"),
+    ).collect()[0]
+    n = int(row["n"])
+    return (
+        clamp_partitions(spark, n * max(1, int(sym_factor)), num_partitions),
+        mix_fingerprint(n, int(row["h"])),
+    )

@@ -50,9 +50,9 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..plans.ckpt import CheckpointManager, graph_fingerprint
+from ..plans.ckpt import CheckpointManager
 from .components import _annotate, _resume_state
-from .partitioning import resolve_partitions
+from .partitioning import setup_scan
 
 STATE_COLS = {"vid", "scc"}
 
@@ -108,7 +108,10 @@ def strongly_connected_components(
     with scc = NULL and a warning is raised."""
     import tempfile
 
-    P = resolve_partitions(spark, edges, num_partitions)
+    # single setup scan (round-4 VERDICT #1 pattern): the raw-input
+    # aggregate sizes partitions and fingerprints the instance; e0's
+    # canonicalization materializes under its persist in round 1.
+    P, fp = setup_scan(spark, edges, num_partitions, sym_factor=1)
     e0 = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -125,9 +128,8 @@ def strongly_connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ckpt = CheckpointManager(
-        ckpt_dir or tempfile.mkdtemp(prefix="scc_ckpt_"), "scc"
+        ckpt_dir or tempfile.mkdtemp(prefix="scc_ckpt_"), "scc", fingerprint=fp
     )
-    ckpt.fingerprint = graph_fingerprint(e0)
 
     assigned = spark.createDataFrame([], "vid long, scc long")
     start = 0
