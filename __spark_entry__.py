@@ -1264,15 +1264,63 @@ def _graph_kcore_sizes(spark, sf):
     ).select(F.lit("kcore").alias("algo"), "vid", "score")
 
 
-def _graph_lpa_sizes(spark, sf):
-    from reddit_processing_spark.graph.lpa import label_propagation
-    from reddit_processing_spark.operators.extract import aggregate_edges, derive_edges
+def _string_keyed_edges(spark):
+    """The transcript edge table re-keyed with ORACLE-REPRODUCIBLE
+    string vertex keys ('r:'/'u:'/'t:' prefixes), isomorphic to the
+    production xxhash64-vid graph (same extraction rules:
+    operators/extract.py derive_edges). LPA's smallest-label tie-break
+    makes its OUTPUT depend on the label ordering — unlike the CC/BFS
+    size/distance histograms, no re-keying-invariant shape exists — so
+    hash-checking LPA against DuckDB requires both sides to share one
+    key space. ASCII keys compare bytewise identically in Spark and
+    DuckDB, so the argmax tie-breaks agree decision-for-decision."""
+    from reddit_processing_spark.operators.extract import extract_turns
+    from reddit_processing_spark.sources.fixtures import U_A, U_B
 
-    t = spark.read.parquet(_fixture_dir())
-    edges, _ = derive_edges(t, n_users=TINY_N_USERS)
+    turns = extract_turns(spark.read.parquet(_fixture_dir()))
+    ordering = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    prev = turns.withColumn("_prev_role", F.lag("role", 1).over(ordering))
+    role_e = prev.filter(F.col("_prev_role").isNotNull()).select(
+        F.concat(F.lit("r:"), F.col("_prev_role")).alias("src"),
+        F.concat(F.lit("r:"), F.col("role")).alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    conv_num = F.substring("conv_id", 2, 8).cast("long")
+    uid = F.pmod(
+        conv_num * F.lit(U_A) + F.col("turn_idx").cast("long") * F.lit(U_B),
+        F.lit(TINY_N_USERS),
+    )
+    ut = turns.filter(F.col("role") == "user").select(
+        F.concat(F.lit("u:"), uid.cast("string")).alias("uk"),
+        F.concat(F.lit("t:"), F.col("conv_id")).alias("tk"),
+    )
+    reply_e = ut.select(
+        F.col("uk").alias("src"), F.col("tk").alias("dst"), F.lit(1.0).alias("w")
+    ).unionByName(
+        ut.select(
+            F.col("tk").alias("src"), F.col("uk").alias("dst"), F.lit(1.0).alias("w")
+        )
+    )
+    return role_e.unionByName(reply_e)
+
+
+def _graph_lpa_sizes(spark, sf):
+    """Synchronous LPA (5 supersteps, smallest-label tie-break) over
+    the string-keyed transcript graph; output = the FULL community
+    table (label, size) — hash-checked value-for-value against a
+    DuckDB oracle that unrolls the identical schedule as five chained
+    CTEs (_graph_lpa_sql). Unrolling is exact: if Spark's changed==0
+    early-stop fires at step k < 5, steps k+1..5 are fixed-point
+    no-ops, so both sides compute the same labels. The xxhash64-vid
+    production path keeps its pandas sync-LPA oracle in
+    tests/test_lpa.py (tie-break order differs per key space; the
+    schedule under test is identical)."""
+    from reddit_processing_spark.graph.lpa import label_propagation
+    from reddit_processing_spark.operators.extract import aggregate_edges
+
     labels = label_propagation(
-        spark, aggregate_edges(edges), max_iter=5, num_partitions=8,
-        ckpt_dir=tempfile.mkdtemp(prefix="drv_lpa_"),
+        spark, aggregate_edges(_string_keyed_edges(spark)), max_iter=5,
+        num_partitions=8, ckpt_dir=tempfile.mkdtemp(prefix="drv_lpa_"),
     )
     return labels.groupBy("label").agg(F.count("*").alias("size")).orderBy(
         F.desc("size"), F.asc("label")
@@ -2758,24 +2806,13 @@ def _graph_cc_sizes_both(spark, sf):
     )
 
 
-def _graph_struct_sql() -> str:
-    """DuckDB recursive-CTE oracle for _graph_cc_sizes_both. Engine
-    fixpoints re-expressed as monotone recursion over STRING vertex
-    keys ('r:'/'u:'/'t:' prefixes replace the xxhash64 vids — the
-    graph is isomorphic, so size/distance histograms are equal):
-
-    - reach(a,b): transitive closure (UNION dedups rows, so the
-      recursion terminates; Σ|comp|² rows — bounded on the tiny
-      fixture, max component 48); comp = min reachable key.
-    - bfsr(vid,d): hop-bounded BFS expansion; min(d) per vid is the
-      hop distance. Bound 32 >> fixture diameter (6, measured) — the
-      recursion needs SOME bound because cycles keep generating larger
-      d forever; any bound ≥ eccentricity gives exact minima.
-    - ssspr(vid,d): Bellman-Ford expansion, distance-bounded at 1000
-      (weights ≥ 1, so depth ≤ 1000; true distances are ≤ ~30 here);
-      path sums of integral reply-count weights are exactly
-      representable, so MIN over DOUBLE candidates is exact.
-    """
+def _edge_derive_cte() -> str:
+    """Shared DuckDB CTE prefix re-deriving the transcript edge table
+    over string vertex keys — used by _graph_struct_sql (CC/BFS/SSSP)
+    and _graph_lpa_sql. Mirrors operators/extract.py derive_edges +
+    aggregate_edges exactly: same keep-first dedup per
+    (conv_id, turn_idx), same synthetic user key arithmetic, same
+    per-(src,dst) weight summation."""
     from reddit_processing_spark.sources.fixtures import U_A, U_B
 
     return f"""
@@ -2804,7 +2841,63 @@ reply_edges AS (
 agg AS (
   SELECT src, dst, SUM(w) AS w
   FROM (SELECT * FROM role_edges UNION ALL SELECT * FROM reply_edges)
-  GROUP BY src, dst),
+  GROUP BY src, dst)"""
+
+
+def _graph_lpa_sql() -> str:
+    """Unrolled synchronous-LPA oracle for _graph_lpa_sizes: the five
+    supersteps are five chained (non-recursive) CTEs l1..l5 — legal
+    because the schedule is a FIXED iteration count, unlike the
+    open-ended fixpoints that need RECURSIVE. Each step recomputes
+    every vertex's label as the argmax of summed incident weights by
+    neighbor label, smallest-label tie-break (row_number over
+    (SUM(w) DESC, label ASC) — the exact window the Spark kernel
+    runs, graph/lpa.py:137). Weights are integral doubles, so the
+    SUMs are exact on both sides and every tie-break agrees. Spark's
+    changed==0 early-stop is unroll-safe: a converged labeling is a
+    fixed point, so extra unrolled steps are no-ops."""
+    step = """,
+l{i} AS (
+  SELECT v.vid, COALESCE(b.nl, v.label) AS label
+  FROM l{p} v LEFT JOIN (
+    SELECT nvid, label AS nl FROM (
+      SELECT e.dst AS nvid, x.label, SUM(e.w) AS s,
+             row_number() OVER (PARTITION BY e.dst
+                                ORDER BY SUM(e.w) DESC, x.label ASC) AS rn
+      FROM sym e JOIN l{p} x ON e.src = x.vid
+      GROUP BY e.dst, x.label) WHERE rn = 1) b
+  ON v.vid = b.nvid)"""
+    body = "".join(step.format(i=i, p=i - 1) for i in range(1, 6))
+    return _edge_derive_cte() + """,
+sym AS (
+  SELECT src, dst, SUM(w) AS w FROM (
+    SELECT src, dst, w FROM agg UNION ALL SELECT dst AS src, src AS dst, w FROM agg)
+  WHERE src <> dst GROUP BY src, dst),
+l0 AS (SELECT DISTINCT src AS vid, src AS label FROM sym)""" + body + """
+SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM l5
+GROUP BY label ORDER BY size DESC, label
+"""
+
+
+def _graph_struct_sql() -> str:
+    """DuckDB recursive-CTE oracle for _graph_cc_sizes_both. Engine
+    fixpoints re-expressed as monotone recursion over STRING vertex
+    keys ('r:'/'u:'/'t:' prefixes replace the xxhash64 vids — the
+    graph is isomorphic, so size/distance histograms are equal):
+
+    - reach(a,b): transitive closure (UNION dedups rows, so the
+      recursion terminates; Σ|comp|² rows — bounded on the tiny
+      fixture, max component 48); comp = min reachable key.
+    - bfsr(vid,d): hop-bounded BFS expansion; min(d) per vid is the
+      hop distance. Bound 32 >> fixture diameter (6, measured) — the
+      recursion needs SOME bound because cycles keep generating larger
+      d forever; any bound ≥ eccentricity gives exact minima.
+    - ssspr(vid,d): Bellman-Ford expansion, distance-bounded at 1000
+      (weights ≥ 1, so depth ≤ 1000; true distances are ≤ ~30 here);
+      path sums of integral reply-count weights are exactly
+      representable, so MIN over DOUBLE candidates is exact.
+    """
+    return _edge_derive_cte() + """,
 sym AS (
   SELECT DISTINCT src, dst FROM (
     SELECT src, dst FROM agg UNION ALL SELECT dst AS src, src AS dst FROM agg)
@@ -3252,7 +3345,9 @@ def _stream_window_counts_both(spark, sf):
 #   §2.11 k-core + SCC + k-truss ..... graph_rank_suite (kcore, scc, truss
 #                                       legs — peeling/reach-intersection
 #                                       fixpoints, rows-only by nature)
-#   §2.11 lpa ......................... graph_lpa_sizes
+#   §2.11 lpa ......................... graph_lpa_sizes (string-keyed graph,
+#                                       hash-checked vs the unrolled
+#                                       5-superstep CTE oracle)
 #   §2.11 triangles + clustering +
 #         degree metrics +
 #         modularity + reciprocity .... tri_part_cooccurrence (one-row summary:
@@ -3297,9 +3392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_per_supplier": _agg_distinct,
         "agg_multidim_grouping": _agg_multidim_grouping,
         "grouped_agg_mad": _grouped_agg_mad,
-        # ---- rows-only (iterative fixpoints / sketches / streams):
-        # placed mid-registry, not at the tail — these are the entries
-        # a truncated driver pass historically dropped.
+        # ---- graph / sketch / stream entries: placed mid-registry,
+        # not at the tail — these are the entries a truncated driver
+        # pass historically dropped. cc and lpa are hash-checked
+        # (CTE oracles); the rest are rows-only.
         "graph_rank_suite": _graph_rank_suite,
         "graph_cc_sizes": _graph_cc_sizes_both,
         "graph_lpa_sizes": _graph_lpa_sizes,
@@ -3353,10 +3449,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles for every SQL-expressible query above. Keys
-    absent here (graph fixpoints, xxhash-sketch dedup, LSH ANN,
-    streaming, multimodal) get the driver's rows-only check; their
-    exact-parity tests live in tests/ (networkx / numpy / pandas
-    oracles)."""
+    absent here (open-ended graph fixpoints, xxhash-sketch dedup,
+    LSH ANN, streaming, multimodal) get the driver's rows-only check;
+    their exact-parity tests live in tests/ (networkx / numpy /
+    pandas oracles). Bounded iterations ARE oracled: CC/BFS/SSSP via
+    recursive CTEs, LPA via unrolled chained CTEs."""
     return {
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
@@ -3400,6 +3497,9 @@ def oracle_sql() -> dict[str, str]:
         # iterative graph fixpoints as bounded recursive CTEs
         # (round-4 VERDICT #2/#3): closure CC, BFS, Bellman-Ford
         "graph_cc_sizes": _graph_struct_sql(),
+        # synchronous LPA unrolled to five chained CTEs over the
+        # string-keyed graph (tie-break order shared with DuckDB)
+        "graph_lpa_sizes": _graph_lpa_sql(),
         "scan_text_roundtrip": _SCAN_TEXT_SQL,
         "split_bucket_invariants": _SPLIT_SQL,
         "merge_entity_sink": _MERGE_ENTITY_SQL,
