@@ -3290,6 +3290,80 @@ def _stream_window_counts_both(spark, sf):
     return tumb.unionByName(sess).unionByName(rj).orderBy("kind", "conv_id")
 
 
+def _stream_window_sql() -> str:
+    """Batch-replay DuckDB oracle for _stream_window_counts_both
+    (upgrades the entry from rows-only to hash-checked, round-4
+    VERDICT "What's missing" #1 family). Sound because the replay is
+    DETERMINISTIC here: the tiny fixture is a SINGLE parquet file, so
+    every leg runs as exactly one data micro-batch followed by the
+    no-data finalization batch, and the final event-time watermark is
+    a pure function of the input (max ts − watermark delay). The three
+    legs then have closed-form batch equivalents:
+
+    - tumbling (delay 1h, streaming_turn_counts): dedup on
+      (conv_id, turn_idx) — keep-first is batch-order-arbitrary, but
+      the fixture's one duplicate pair falls in the SAME hour bucket
+      (asserted in tests/test_stream_oracle.py), so min(ts) is an
+      equivalent canonicalization — then count per (conv, hour window)
+      and keep only FINALIZED windows. Append mode emits a window when
+      the watermark reaches its end: empirically end <= max_ts − 1h
+      (198 of 200 convs emit; the last two straddle the final
+      watermark).
+    - session (delay 0s, gap 30m): lag-based gap sessionization — a
+      turn ≥ 30m after its predecessor opens a new session — keeping
+      sessions whose end (= last ts + gap) <= max_ts (199 convs: only
+      the globally-latest conversation's session is still open when
+      the stream drains).
+    - reply_join: inner stream-stream joins emit matched pairs
+      immediately (no watermark gate on output), so the plain batch
+      self-join with the identical time-range + turn-order predicate
+      is the exact multiset.
+    """
+    return f"""
+WITH t AS (SELECT conv_id, turn_idx, ts FROM read_parquet('{_fixture_glob()}')),
+wm AS (SELECT max(ts) AS mts FROM t),
+td AS (SELECT conv_id, turn_idx, min(ts) AS ts FROM t GROUP BY 1, 2),
+tw AS (
+  SELECT conv_id, date_trunc('hour', ts) AS wstart
+  FROM td
+  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT mts - INTERVAL 1 HOUR FROM wm)),
+tumb AS (
+  SELECT 'tumbling' AS kind, conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(DISTINCT wstart) AS BIGINT) AS n_buckets
+  FROM tw GROUP BY conv_id),
+marks AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN lag(ts) OVER w IS NULL OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),
+sessions AS (
+  SELECT conv_id, ts,
+         sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks),
+sess_w AS (
+  SELECT conv_id, sid, count(*) AS n, max(ts) + INTERVAL 30 MINUTE AS send
+  FROM sessions GROUP BY conv_id, sid),
+sess AS (
+  SELECT 'session' AS kind, conv_id,
+         CAST(sum(n) AS BIGINT) AS n_turns,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM sess_w WHERE send <= (SELECT mts FROM wm)
+  GROUP BY conv_id),
+rj AS (
+  SELECT 'reply_join' AS kind, a.conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(DISTINCT b.turn_idx) AS BIGINT) AS n_buckets
+  FROM t a JOIN t b ON a.conv_id = b.conv_id
+   AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL 60 MINUTE
+   AND b.turn_idx < a.turn_idx
+  GROUP BY a.conv_id)
+SELECT * FROM tumb UNION ALL SELECT * FROM sess UNION ALL SELECT * FROM rj
+ORDER BY kind, conv_id
+"""
+
+
 # ===================================================================
 # FAMILY MEMBERSHIP MAP (round-3 VERDICT #6): the registry is capped at
 # exactly 50 entries (driver truncation guard), so every SURVEY.md §2
@@ -3394,8 +3468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_agg_mad": _grouped_agg_mad,
         # ---- graph / sketch / stream entries: placed mid-registry,
         # not at the tail — these are the entries a truncated driver
-        # pass historically dropped. cc and lpa are hash-checked
-        # (CTE oracles); the rest are rows-only.
+        # pass historically dropped. cc, lpa, and stream_window_counts
+        # are hash-checked (CTE / batch-replay oracles); the rest are
+        # rows-only.
         "graph_rank_suite": _graph_rank_suite,
         "graph_cc_sizes": _graph_cc_sizes_both,
         "graph_lpa_sizes": _graph_lpa_sizes,
@@ -3450,10 +3525,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles for every SQL-expressible query above. Keys
     absent here (open-ended graph fixpoints, xxhash-sketch dedup,
-    LSH ANN, streaming, multimodal) get the driver's rows-only check;
-    their exact-parity tests live in tests/ (networkx / numpy /
-    pandas oracles). Bounded iterations ARE oracled: CC/BFS/SSSP via
-    recursive CTEs, LPA via unrolled chained CTEs."""
+    LSH ANN, update-mode streaming state, multimodal) get the
+    driver's rows-only check; their exact-parity tests live in tests/
+    (networkx / numpy / pandas oracles). Bounded iterations ARE
+    oracled: CC/BFS/SSSP via recursive CTEs, LPA via unrolled chained
+    CTEs, and the append-mode streaming legs via batch-replay SQL
+    with the final-watermark emission rule."""
     return {
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
@@ -3500,6 +3577,9 @@ def oracle_sql() -> dict[str, str]:
         # synchronous LPA unrolled to five chained CTEs over the
         # string-keyed graph (tie-break order shared with DuckDB)
         "graph_lpa_sizes": _graph_lpa_sql(),
+        # streaming legs replayed as one deterministic micro-batch:
+        # batch-equivalent SQL with the final-watermark emission rule
+        "stream_window_counts": _stream_window_sql(),
         "scan_text_roundtrip": _SCAN_TEXT_SQL,
         "split_bucket_invariants": _SPLIT_SQL,
         "merge_entity_sink": _MERGE_ENTITY_SQL,
