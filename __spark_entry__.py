@@ -1538,24 +1538,42 @@ def _docs_lang_id(spark, sf):
     return d.select("doc_id", lang_id("text").alias("lang_pred")).orderBy("doc_id")
 
 
-_LANGID_SQL = """
+def _langid_sql() -> str:
+    """DuckDB oracle generated from the SAME STOPWORDS constant the
+    Spark lang_id() Column reads — one source of truth, so widening
+    the language set (16 codes, round-5) cannot drift the two sides.
+    The CASE chain checks codes in alphabetical order against the
+    greatest hit count, which IS the Spark tie-break (highest hits,
+    then alphabetical code)."""
+    from reddit_processing_spark.functions.text import STOPWORDS
+
+    codes = sorted(STOPWORDS)
+    hit_cols = ",\n    ".join(
+        "len(list_filter(t, x -> x IN ({words}))) AS h_{c}".format(
+            words=",".join(f"'{w}'" for w in STOPWORDS[c]), c=c
+        )
+        for c in codes
+    )
+    g = "greatest({})".format(", ".join(f"h_{c}" for c in codes))
+    case = "\n       ".join(
+        f"WHEN h_{c} = {g} THEN '{c}'" for c in codes[:-1]
+    )
+    return f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
 hits AS (
   SELECT doc_id,
-    len(list_filter(t, x -> x IN ('der','die','und','das','ist','von','den','mit','ein','zu'))) AS h_de,
-    len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS h_en,
-    len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS h_es,
-    len(list_filter(t, x -> x IN ('le','la','et','les','des','un','une','du','est','dans'))) AS h_fr
+    {hit_cols}
   FROM toks)
 SELECT doc_id,
-  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
-       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-       ELSE 'fr' END AS lang_pred
+  CASE WHEN {g} = 0 THEN 'und'
+       {case}
+       ELSE '{codes[-1]}' END AS lang_pred
 FROM hits ORDER BY doc_id
 """
+
+
+_LANGID_SQL = _langid_sql()
 
 
 def _docs_quality(spark, sf):
