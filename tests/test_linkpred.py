@@ -96,6 +96,27 @@ def test_linkpred_stats_are_lazy(spark, agg_edges, nx_graph):
     assert dict(st0) == {"hubs_dropped": 0}
 
 
+def test_linkpred_auto_cap_skips_on_regular_graph(spark):
+    """Cost gate (round-5): on a graph with NO dominant hubs the
+    derived cap keeps ~all of the Σ deg² wedge cost, so the default
+    skips the mid-filter join (benched +35% pure overhead on a
+    near-regular graph) and runs the exact semantics, recording the
+    decision in stats."""
+    # 300-cycle: every degree is 2, far under the 128 floor
+    rows = [(i, (i + 1) % 300, 1.0) for i in range(300)]
+    cyc = spark.createDataFrame(rows, "src long, dst long, w double")
+
+    auto, st = link_prediction_scores(spark, cyc)
+    assert st["cap_applied"] is False
+    assert st["wedge_degree_cap"] == 128  # floor (p99.9 of degree-2s)
+    assert st["hubs_dropped"] == 0
+
+    exact, _ = link_prediction_scores(spark, cyc, max_wedge_degree=None)
+    a = sorted(map(tuple, auto.collect()))
+    b = sorted(map(tuple, exact.collect()))
+    assert a == b  # skip path IS the exact path
+
+
 def test_linkpred_auto_cap_drops_hub(spark):
     """The DEFAULT call derives a degree cap (max(ceil(p99.9), 128))
     instead of running the full Σ deg(z)² wedge join (round-4
