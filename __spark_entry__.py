@@ -2314,6 +2314,12 @@ SELECT * FROM (
 # sf0.01 corpus spans many packs with a non-trivial straddle rate.
 PACK_CAPACITY = 512
 
+# character-window chunking leg (functions/chunking.py — the §2.9 F5
+# UDTF surface): window/overlap sized so most sf0.01 docs span >1
+# chunk and the last chunk is usually ragged.
+CHUNK_CHARS = 256
+CHUNK_OVERLAP = 32
+
 
 def _docs_token_stats_merged(spark, sf):
     """T1+T5+packing token/corpus statistics in one per-doc row:
@@ -2323,13 +2329,38 @@ def _docs_token_stats_merged(spark, sf):
     (operators/tfidf.py), and its concat-and-chunk sequence-packing
     assignment at PACK_CAPACITY tokens (operators/packing.py —
     distributed prefix-sum, no single-partition window; the DuckDB
-    oracle states the same layout as one global cumsum window)."""
+    oracle states the same layout as one global cumsum window), plus
+    its context-window chunking summary (n_chunks + md5 fingerprint
+    of the ordered chunk texts at CHUNK_CHARS/CHUNK_OVERLAP) computed
+    through the Arrow-enabled Python UDTF (functions/chunking.py
+    ChunkText — the §2.9 F5 surface) via a correlated LATERAL join,
+    hash-verified against a generate_series+substr DuckDB
+    restatement."""
     ws = _docs_token_stats(spark, sf)
     bpe = _docs_bpe_tokens(spark, sf)
+    from reddit_processing_spark.functions.chunking import register_chunk_udtf
     from reddit_processing_spark.operators.packing import pack_sequences
     from reddit_processing_spark.operators.tfidf import bm25_scores, top_terms
 
     d = _t(spark, sf, "documents")
+    register_chunk_udtf(spark)
+    d.select("doc_id", "text").createOrReplaceTempView("__docs_chunk_src")
+    ch = (
+        spark.sql(
+            f"SELECT d.doc_id, c.chunk_idx, c.chunk_text "
+            f"FROM __docs_chunk_src d, "
+            f"LATERAL chunk_text(d.text, {CHUNK_CHARS}, {CHUNK_OVERLAP}) c"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ), "\x1f")).alias("chunks_fp"),
+        )
+    )
     top = (
         top_terms(d, n=1)
         .select(
@@ -2349,12 +2380,15 @@ def _docs_token_stats_merged(spark, sf):
         .join(top, "doc_id", "left")
         .join(bm, "doc_id")
         .join(pk, "doc_id")
+        .join(ch, "doc_id", "left")  # empty-text docs: no chunk rows
         .select(
             "doc_id", "n_tokens", "n_chars", "len_text", "n_bpe",
             F.coalesce("top_term", F.lit("")).alias("top_term"),
             F.coalesce("top_tfidf", F.lit(0.0)).alias("top_tfidf"),
             "bm25_probe",
             "pack_id", "pack_offset", "straddles",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("chunks_fp", F.lit("")).alias("chunks_fp"),
         )
         .orderBy("doc_id")
     )
@@ -2412,19 +2446,32 @@ WITH pk AS (
   SELECT doc_id, n_bpe,
          coalesce(sum(n_bpe) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-  FROM ({_BPE_SQL.replace("ORDER BY doc_id", "")}))
+  FROM ({_BPE_SQL.replace("ORDER BY doc_id", "")})),
+chw AS (
+  SELECT doc_id, s, substr(text, s + 1, {CHUNK_CHARS}) AS ct
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(0, length(text) - 1,
+                      {CHUNK_CHARS - CHUNK_OVERLAP})) AS s
+        FROM documents WHERE length(text) > 0)),
+chfp AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         md5(string_agg(ct, chr(31) ORDER BY s)) AS chunks_fp
+  FROM chw GROUP BY doc_id)
 SELECT ws.doc_id, ws.n_tokens, ws.n_chars, ws.len_text, bpe.n_bpe,
        coalesce(tt.top_term, '') AS top_term,
        coalesce(tt.top_tfidf, 0.0) AS top_tfidf,
        bm.bm25_probe,
        CAST(floor(pk.cb / {PACK_CAPACITY}) AS BIGINT) AS pack_id,
        CAST(pk.cb % {PACK_CAPACITY} AS BIGINT) AS pack_offset,
-       (pk.cb % {PACK_CAPACITY} + pk.n_bpe) > {PACK_CAPACITY} AS straddles
+       (pk.cb % {PACK_CAPACITY} + pk.n_bpe) > {PACK_CAPACITY} AS straddles,
+       coalesce(chfp.n_chunks, 0) AS n_chunks,
+       coalesce(chfp.chunks_fp, '') AS chunks_fp
 FROM ({_DOCSTOK_SQL.replace("ORDER BY doc_id", "")}) ws
 JOIN ({_BPE_SQL.replace("ORDER BY doc_id", "")}) bpe USING (doc_id)
 LEFT JOIN ({_TFIDF_TOP_SQL}) tt USING (doc_id)
 JOIN ({_BM25_SQL}) bm USING (doc_id)
 JOIN pk USING (doc_id)
+LEFT JOIN chfp USING (doc_id)
 ORDER BY ws.doc_id
 """
 
