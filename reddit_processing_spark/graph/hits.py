@@ -23,9 +23,16 @@ aggregate over the written |V|-row parquet, becoming literal divisors
 in the NEXT superstep's plan — the Katz pattern, minus the old
 full-lineage normalization job. (The scalars deliberately do NOT come
 from the write's Observation: CollectMetrics merges in task-completion
-order, whose ULP wobble would break bit-identical resume.) The
-convergence delta is observed one superstep late — at most one extra
-superstep past tol.
+order, maximizing ULP wobble.) The convergence delta is observed one
+superstep late — at most one extra superstep past tol.
+
+Determinism contract: resume is equivalent to an uninterrupted run
+within float associativity (a few ULP per component, tested at
+1e-12), not bit-identical — Spark randomizes shuffle-block fetch
+order, so ANY two executions' double message sums can differ at the
+ULP; a resumed run sits inside that same envelope (its literal
+divisors are the original run's exact doubles, read back from the
+manifest). Integer-state algorithms (CC/LPA/k-core/BFS) are exact.
 
 No driver-side state grows with |V| or |E|; checkpoints truncate
 lineage and stamp the graph fingerprint so resume rejects state from
@@ -130,12 +137,22 @@ class HITS:
                 if set(cand.columns) == required:
                     start_step = last
                     state = cand
-                    # recompute the norm scalars from the checkpoint
-                    # itself — the SAME deterministic aggregate the
-                    # original run used over the SAME parquet, so a
-                    # resumed run's literal divisors (and therefore
-                    # every downstream double) are bit-identical
-                    sh, sa = self._norm_sums(cand)
+                    # take the norm scalars from the MANIFEST (json
+                    # float roundtrip is exact), not a recomputed
+                    # aggregate: Spark randomizes shuffle-block fetch
+                    # order, so re-summing doubles over the same
+                    # parquet can differ from the original run at the
+                    # ULP — the manifest carries the original run's
+                    # exact literal divisors instead.
+                    m = next(
+                        (x for x in ckpt.manifests() if x["superstep"] == last),
+                        None,
+                    )
+                    met = (m or {}).get("metrics", {})
+                    if "sh" in met and "sa" in met:
+                        sh, sa = float(met["sh"]), float(met["sa"])
+                    else:  # manifest predates the sh/sa metrics
+                        sh, sa = self._norm_sums(cand)
                 else:
                     import warnings
 
@@ -258,9 +275,14 @@ class HITS:
 
     @staticmethod
     def _norm_sums(state: DataFrame) -> tuple[float, float]:
-        """Deterministic (Σ hub_raw, Σ auth_raw) over a checkpointed
-        state — partial aggregation per file split merged in map
-        order, so the same parquet always yields the same doubles."""
+        """(Σ hub_raw, Σ auth_raw) over a checkpointed state. NOT
+        bit-stable across executions: the final aggregate merges
+        per-split partials in shuffle-fetch order, which Spark
+        randomizes, so double sums can wobble at the ULP between two
+        runs over the same parquet. Fine for the within-run divisors
+        (every run's output carries its own consistent ULP draw);
+        resume therefore reads the ORIGINAL run's scalars from the
+        manifest instead of calling this again (see run())."""
         row = state.agg(
             F.sum("hub").alias("sh"), F.sum("auth").alias("sa")
         ).collect()[0]

@@ -114,7 +114,13 @@ def test_hits_matches_oracle(spark, agg_edges, agg_pdf, tmp_path):
 
 def test_hits_resume_equivalence(spark, agg_edges, tmp_path):
     """Kill after 2 supersteps, resume from checkpoint, and the
-    continued run is bit-identical to an uninterrupted one."""
+    continued run equals an uninterrupted one within float
+    associativity (1e-12 per component — Spark randomizes
+    shuffle-block fetch order, so double message sums can differ at
+    the ULP between ANY two executions; the resume path contributes
+    no divergence beyond that envelope because its literal divisors
+    are the original run's exact manifest scalars). Same contract as
+    the PageRank/Katz resume tests."""
     full_dir = str(tmp_path / "full")
     part_dir = str(tmp_path / "part")
 
@@ -131,7 +137,9 @@ def test_hits_resume_equivalence(spark, agg_edges, tmp_path):
         }
     finally:
         h1.unpersist()
-    assert resumed == full
+    assert resumed.keys() == full.keys()
+    assert max(abs(resumed[v][0] - full[v][0]) for v in full) < 1e-12
+    assert max(abs(resumed[v][1] - full[v][1]) for v in full) < 1e-12
 
 
 def test_ppr_changed_teleport_rejects_stale_checkpoint(spark, agg_edges, agg_pdf, tmp_path):
