@@ -216,6 +216,15 @@ def main() -> None:
     timings["kcore_to_convergence"] = round(time.monotonic() - t4, 3)
     kcore_rounds = len(CheckpointManager(kc_dir, "kcore").metrics_history())
 
+    # same fixpoint at checkpoint cadence 4 (superstep fusion — the
+    # h-index wall is per-job-floor-bound at this tier, so fusing 4
+    # rounds per checkpoint divides exactly that term; fused ≡ unfused
+    # is test-asserted in tests/test_kcore.py)
+    kcf_dir = tempfile.mkdtemp(prefix="bench_kcore4_")
+    t4b = time.monotonic()
+    core_numbers(spark, agg, ckpt_dir=kcf_dir, ckpt_every=4)
+    timings["kcore_ckpt4_to_convergence"] = round(time.monotonic() - t4b, 3)
+
     # HITS: per-superstep wall over the same fixed superstep count as
     # PageRank (each superstep = two edge joins in the write job + a
     # tiny |V|-row norm read-back — see graph/hits.py)

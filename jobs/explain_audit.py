@@ -74,6 +74,9 @@ CHECKS = {
     "agg_distinct_per_supplier": [
         ("ObjectHashAggregate", "HLL++/GK sketch buffers aggregate in one object-hash pass alongside the exact twins"),
     ],
+    "docs_token_stats": [
+        ("ArrowEvalPythonUDTF", "F5 chunking UDTF (LATERAL chunk_text) runs Arrow-batched, not the row-pickled BatchEvalPythonUDTF fallback"),
+    ],
 }
 
 

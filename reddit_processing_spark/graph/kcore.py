@@ -70,10 +70,32 @@ def core_numbers(
     num_partitions: int | None = None,
     resume: bool = True,
     frontier: bool = True,
+    ckpt_every: int = 1,
 ) -> DataFrame:
     """Returns (vid, core) — the core number of every vertex of the
-    undirected simple graph underlying ``edges``."""
+    undirected simple graph underlying ``edges``.
+
+    ``ckpt_every`` (superstep fusion): compose that many synchronous
+    h-index rounds into ONE Spark job and checkpoint only the last.
+    Sound because the synchronous update is deterministic (fused ≡
+    unfused is asserted in tests) and because a converged inner round
+    is idempotent (empty frontier ⇒ no messages ⇒ est unchanged), so
+    checking convergence at block granularity merely risks ≤
+    ``ckpt_every − 1`` free no-op rounds. The trade-offs are explicit:
+    resume granularity and per-round delta metrics coarsen to the
+    block, which is why the contract's four core algorithms (PageRank
+    / CC / LPA / triangles — "every superstep checkpoints",
+    BASELINE.json north_rule) keep cadence 1 and this extension
+    algorithm exposes the knob. h-index convergence ripples one
+    h-step per round (86 rounds at the bench tier) while each round's
+    real work shrinks with the frontier, so the wall is dominated by
+    the fixed per-job floor (scheduling + parquet write + read-back)
+    — fusion divides exactly that term.
+    """
     import tempfile
+
+    if ckpt_every < 1:
+        raise ValueError(f"ckpt_every must be >= 1, got {ckpt_every}")
 
     # single setup scan: sizing + resume fingerprint in one aggregate
     # over the raw input (round-4 VERDICT #1 pattern); the symmetrized
@@ -102,9 +124,9 @@ def core_numbers(
         .orderBy(F.col("nest").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    changed = 0
-    for step in range(start, max_iter):
-        t0 = time.monotonic()
+    def _round(est: DataFrame, obs_m: Observation | None) -> DataFrame:
+        """One synchronous h-index update as a plan transform —
+        chainable without materialization (superstep fusion)."""
         if frontier:
             # affected set = vertices with ≥1 neighbor whose estimate
             # changed last round; recompute them from ALL their
@@ -124,15 +146,15 @@ def core_numbers(
         msgs = edges_in.join(est, edges_in.dst == est.vid).select(
             edges_in.src.alias("vid"), F.col("est").alias("nest")
         )
-        obs_m = Observation(f"kcore_msgs_{step + 1}")
-        msgs = msgs.observe(obs_m, F.count("*").alias("msg_rows"))
+        if obs_m is not None:
+            msgs = msgs.observe(obs_m, F.count("*").alias("msg_rows"))
         hist = msgs.groupBy("vid", "nest").agg(F.count("*").alias("cnt"))
         hvals = (
             hist.withColumn("cum", F.sum("cnt").over(w))
             .groupBy("vid")
             .agg(F.max(F.least(F.col("nest"), F.col("cum"))).alias("h"))
         )
-        new = (
+        return (
             est.select("vid", F.col("est").alias("oest"))
             # left: unaffected vertices get no h row this round and
             # provably keep their estimate (dense mode: h never null —
@@ -145,16 +167,41 @@ def core_numbers(
                 (F.coalesce("h", F.col("oest")) < F.col("oest")).alias("chg"),
             )
         )
-        obs = Observation(f"kcore_step_{step + 1}")
-        observed = new.observe(obs, F.sum(F.col("chg").cast("long")).alias("changed"))
-        written = ckpt.write(observed, step + 1)
+
+    changed = 0
+    rounds = start
+    while rounds < max_iter:
+        t0 = time.monotonic()
+        block = min(ckpt_every, max_iter - rounds)
+        obs_m = Observation(f"kcore_msgs_{rounds + block}")
+        for i in range(block):
+            # message metrics ride the LAST fused round (the one whose
+            # frontier the next block resumes from)
+            est = _round(est, obs_m if i == block - 1 else None)
+        obs = Observation(f"kcore_step_{rounds + block}")
+        observed = est.observe(obs, F.sum(F.col("chg").cast("long")).alias("changed"))
+        # step index = cumulative ROUND count, so manifests stay
+        # directly comparable across cadences and resume restarts at
+        # the right round budget.
+        written = ckpt.write(observed, rounds + block)
         changed = int(obs.get["changed"] or 0)
-        msg_rows = int(obs_m.get["msg_rows"] or 0)
+        # When every inner round after some point has an EMPTY frontier
+        # (the block overshot convergence), AQE's empty-relation
+        # propagation prunes the CollectMetrics node obs_m rides and
+        # its .get raises from the JVM — which happens exactly when
+        # the observed message stream was empty, so 0 is the true
+        # value, not a guess.
+        try:
+            msg_rows = int(obs_m.get["msg_rows"] or 0)
+        except Exception:
+            msg_rows = 0
         _annotate(
-            ckpt, step + 1, {"changed": changed, "msg_rows": msg_rows},
+            ckpt, rounds + block,
+            {"changed": changed, "msg_rows": msg_rows, "rounds_in_block": block},
             int((time.monotonic() - t0) * 1000),
         )
         est = written
+        rounds += block
         if changed == 0:
             break
     if changed > 0:

@@ -160,3 +160,74 @@ def test_kcore_frontier_equals_dense_per_superstep(spark, agg_edges, tmp_path):
     assert fm[0] == dm[0]                    # round 1: everyone changed
     assert fm[-1] < dm[-1]                   # converged rim << |E|
     assert sum(fm) < sum(dm)
+
+def test_kcore_fused_equals_unfused(spark, agg_edges, tmp_path):
+    """ckpt_every > 1 composes synchronous rounds into one job —
+    results must be identical to cadence 1 (and to networkx), the
+    checkpoint step indices must count ROUNDS (comparable across
+    cadences), and fusion must actually reduce the job count (fewer
+    checkpoints on disk)."""
+    import glob
+    import json
+    import os
+
+    base = {
+        r.vid: r.core
+        for r in core_numbers(
+            spark, agg_edges, ckpt_dir=str(tmp_path / "c1"), num_partitions=8
+        ).collect()
+    }
+    fused = {
+        r.vid: r.core
+        for r in core_numbers(
+            spark, agg_edges, ckpt_dir=str(tmp_path / "c3"), num_partitions=8,
+            ckpt_every=3,
+        ).collect()
+    }
+    assert fused == base == _nx_cores(agg_edges.toPandas())
+
+    m1 = sorted(glob.glob(os.path.join(str(tmp_path / "c1"), "kcore", "manifest_*.json")))
+    m3 = sorted(glob.glob(os.path.join(str(tmp_path / "c3"), "kcore", "manifest_*.json")))
+    assert len(m3) < len(m1)
+    with open(m3[0]) as fh:
+        first = json.load(fh)
+    assert first["superstep"] == first["metrics"]["rounds_in_block"] == 3
+
+    # round budgets are exact even when not a multiple of the cadence:
+    # max_iter=4 at cadence 3 runs blocks of 3 then 1
+    ck = str(tmp_path / "budget")
+    core_numbers(spark, agg_edges, max_iter=4, ckpt_dir=ck, num_partitions=8,
+                 ckpt_every=3)
+    steps = sorted(
+        int(json.load(open(p))["superstep"])
+        for p in glob.glob(os.path.join(ck, "kcore", "manifest_*.json"))
+    )
+    assert steps == [3, 4]
+
+
+def test_kcore_fused_resume_equivalence(spark, agg_edges, tmp_path):
+    """Interrupt a fused run at a block boundary and resume with a
+    DIFFERENT cadence: the fixpoint is cadence-independent."""
+    ck = str(tmp_path / "fresume")
+    core_numbers(spark, agg_edges, max_iter=4, ckpt_dir=ck, num_partitions=8,
+                 ckpt_every=2)
+    resumed = {
+        r.vid: r.core
+        for r in core_numbers(
+            spark, agg_edges, ckpt_dir=ck, num_partitions=8, ckpt_every=5
+        ).collect()
+    }
+    full = {
+        r.vid: r.core
+        for r in core_numbers(
+            spark, agg_edges, ckpt_dir=str(tmp_path / "ffull"), num_partitions=8
+        ).collect()
+    }
+    assert resumed == full
+
+
+def test_kcore_fused_invalid_cadence(spark, agg_edges):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        core_numbers(spark, agg_edges, ckpt_every=0)
