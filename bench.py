@@ -287,6 +287,16 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     timings["bfs_10_supersteps"] = round(time.monotonic() - t6, 3)
 
+    # same 10 rounds at checkpoint cadence 5 (superstep fusion — two
+    # checkpointed jobs instead of ten; fused ≡ unfused is
+    # test-asserted in tests/test_bfs.py)
+    bfsf_dir = tempfile.mkdtemp(prefix="bench_bfs5_")
+    t6b = time.monotonic()
+    bfs_distances(
+        spark, agg, seeds, max_iter=10, ckpt_dir=bfsf_dir, ckpt_every=5,
+    ).write.format("noop").mode("overwrite").save()
+    timings["bfs_ckpt5_10_supersteps"] = round(time.monotonic() - t6b, 3)
+
     print(
         json.dumps(
             {

@@ -178,6 +178,19 @@ def core_numbers(
             # message metrics ride the LAST fused round (the one whose
             # frontier the next block resumes from)
             est = _round(est, obs_m if i == block - 1 else None)
+            if i < block - 1:
+                # truncate lineage between fused rounds WITHOUT a job:
+                # each round references est three-plus times (frontier
+                # delta, message join, old-estimate join), so an
+                # unmaterialized k-round chain is ~3^k logical-plan
+                # copies and Catalyst compile time dominates the block
+                # (measured: cadence 4 was 8× SLOWER than cadence 1 at
+                # the small tier before this). A lazy localCheckpoint
+                # plants an RDD leaf per round — constant compile cost
+                # — and materializes inside the block's single action;
+                # fault-tolerance loss is bounded by the parquet
+                # checkpoint at block end.
+                est = est.localCheckpoint(eager=False)
         obs = Observation(f"kcore_step_{rounds + block}")
         observed = est.observe(obs, F.sum(F.col("chg").cast("long")).alias("changed"))
         # step index = cumulative ROUND count, so manifests stay

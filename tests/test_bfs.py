@@ -199,3 +199,118 @@ def test_sssp_rejects_negative_weights(spark, tmp_path):
     src_df = spark.createDataFrame([(1,)], "vid long")
     with pytest.raises(ValueError, match="non-negative"):
         shortest_paths(spark, df, src_df, ckpt_dir=str(tmp_path / "neg"))
+
+
+def test_bfs_fused_equals_unfused(spark, agg_edges, agg_pdf, tmp_path):
+    """ckpt_every > 1 composes BFS rounds into one job — distances must
+    be identical to cadence 1 (and to networkx), step indices must
+    count ROUNDS (cadence-comparable manifests), fusion must reduce the
+    checkpoint count, and round budgets must be exact when max_iter is
+    not a multiple of the cadence."""
+    import glob
+    import json
+    import os
+
+    srcs = _sources(agg_pdf)
+    src_df = spark.createDataFrame([(v,) for v in srcs], "vid long")
+    base = {
+        r.vid: r.dist
+        for r in bfs_distances(
+            spark, agg_edges, src_df, num_partitions=8,
+            ckpt_dir=str(tmp_path / "c1"),
+        ).collect()
+    }
+    fused = {
+        r.vid: r.dist
+        for r in bfs_distances(
+            spark, agg_edges, src_df, num_partitions=8,
+            ckpt_dir=str(tmp_path / "c3"), ckpt_every=3,
+        ).collect()
+    }
+    g = nx.Graph()
+    for r in agg_pdf.itertuples():
+        if r.src != r.dst:
+            g.add_edge(r.src, r.dst)
+    assert fused == base == _nx_multi_bfs(g, srcs)
+
+    m1 = sorted(glob.glob(os.path.join(str(tmp_path / "c1"), "bfs", "manifest_*.json")))
+    m3 = sorted(glob.glob(os.path.join(str(tmp_path / "c3"), "bfs", "manifest_*.json")))
+    assert len(m3) < len(m1)
+    with open(m3[0]) as fh:
+        first = json.load(fh)
+    assert first["superstep"] == first["metrics"]["rounds_in_block"] == 3
+
+    ck = str(tmp_path / "budget")
+    bfs_distances(spark, agg_edges, src_df, num_partitions=8, max_iter=4,
+                  ckpt_dir=ck, ckpt_every=3)
+    steps = sorted(
+        int(json.load(open(p))["superstep"])
+        for p in glob.glob(os.path.join(ck, "bfs", "manifest_*.json"))
+    )
+    assert steps == [3, 4]
+
+
+def test_bfs_fused_resume_equivalence(spark, agg_edges, agg_pdf, tmp_path):
+    """Interrupt a fused BFS at a block boundary and resume with a
+    DIFFERENT cadence: the monotone-min fixpoint is cadence-independent."""
+    srcs = _sources(agg_pdf)[:1]
+    src_df = spark.createDataFrame([(v,) for v in srcs], "vid long")
+    ck = str(tmp_path / "fresume")
+    bfs_distances(spark, agg_edges, src_df, num_partitions=8, max_iter=4,
+                  ckpt_dir=ck, ckpt_every=2)
+    resumed = {
+        r.vid: r.dist
+        for r in bfs_distances(
+            spark, agg_edges, src_df, num_partitions=8, ckpt_dir=ck,
+            ckpt_every=5,
+        ).collect()
+    }
+    full = {
+        r.vid: r.dist
+        for r in bfs_distances(
+            spark, agg_edges, src_df, num_partitions=8,
+            ckpt_dir=str(tmp_path / "ffull"),
+        ).collect()
+    }
+    assert resumed == full
+
+
+def test_sssp_fused_equals_unfused(spark, agg_edges, agg_pdf, tmp_path):
+    """Bellman-Ford fused rounds: bit-identical to cadence 1 (each
+    candidate distance is a path-ordered weight sum regardless of
+    cadence) and to the networkx Dijkstra oracle."""
+    from reddit_processing_spark.graph.bfs import shortest_paths
+
+    srcs = _sources(agg_pdf)
+    src_df = spark.createDataFrame([(v,) for v in srcs], "vid long")
+    g = nx.Graph()
+    for r in agg_pdf.itertuples():
+        if r.src != r.dst:
+            w = 1.0 + (int(r.src) % 5) * 0.25
+            if g.has_edge(r.src, r.dst):
+                w = min(w, g[r.src][r.dst]["w"])
+            g.add_edge(r.src, r.dst, w=w)
+    # vids are signed hashes: use pmod so the Spark weights match the
+    # Python `%` (Spark's `%` keeps the dividend's sign)
+    weighted = agg_edges.withColumn(
+        "w", F.lit(1.0) + F.pmod(F.col("src"), F.lit(5)).cast("double") * F.lit(0.25)
+    )
+    base = {
+        r.vid: r.dist
+        for r in shortest_paths(
+            spark, weighted, src_df, num_partitions=8,
+            ckpt_dir=str(tmp_path / "s1"),
+        ).collect()
+    }
+    fused = {
+        r.vid: r.dist
+        for r in shortest_paths(
+            spark, weighted, src_df, num_partitions=8,
+            ckpt_dir=str(tmp_path / "s4"), ckpt_every=4,
+        ).collect()
+    }
+    assert fused == base
+    want = _nx_multi_dijkstra(g, srcs)
+    assert set(fused) == set(want)
+    for v, d in want.items():
+        assert abs(fused[v] - d) < 1e-9
