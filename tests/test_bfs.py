@@ -314,3 +314,31 @@ def test_sssp_fused_equals_unfused(spark, agg_edges, agg_pdf, tmp_path):
     assert set(fused) == set(want)
     for v, d in want.items():
         assert abs(fused[v] - d) < 1e-9
+
+
+def test_bfs_fused_truncates_lineage(spark, agg_edges, agg_pdf, tmp_path, monkeypatch):
+    """The fused block must plant a lazy localCheckpoint between inner
+    rounds — without it each round's 3 state references grow the
+    unmaterialized plan ~3^k and Catalyst compile dominates (measured
+    8× slower than cadence 1 before the fix). Results alone can't
+    catch a removal (it only gets slow), so count the calls."""
+    # Spark 4: instances are the classic subclass, which overrides the
+    # pyspark.sql.DataFrame facade — patch where the lookup lands
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"n": 0, "eager": []}
+    orig = DataFrame.localCheckpoint
+
+    def counting(self, eager=True):
+        calls["n"] += 1
+        calls["eager"].append(eager)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting)
+    srcs = _sources(agg_pdf)[:1]
+    src_df = spark.createDataFrame([(srcs[0],)], "vid long")
+    bfs_distances(spark, agg_edges, src_df, num_partitions=8, max_iter=6,
+                  ckpt_dir=str(tmp_path / "lck"), ckpt_every=3)
+    # 2 blocks of 3 rounds -> 2 inner truncations per block
+    assert calls["n"] == 4
+    assert all(e is False for e in calls["eager"])
