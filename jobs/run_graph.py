@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--master", default=None)
     p.add_argument("--n-users", type=int, default=None)
+    p.add_argument(
+        "--ckpt-every", type=int, default=1,
+        help="kcore/bfs/sssp only: fuse this many supersteps per "
+             "checkpointed job (superstep fusion; results are "
+             "cadence-independent, resume granularity coarsens to the "
+             "block)",
+    )
     args = p.parse_args(argv)
 
     from reddit_processing_spark.graph.components import (
@@ -102,7 +109,7 @@ def main(argv: list[str] | None = None) -> dict:
 
         out = core_numbers(
             spark, agg, max_iter=args.max_iter, ckpt_dir=args.ckpt,
-            num_partitions=args.partitions,
+            num_partitions=args.partitions, ckpt_every=args.ckpt_every,
         )
         manifest_algo = "kcore"
     elif args.algo == "hits":
@@ -129,7 +136,7 @@ def main(argv: list[str] | None = None) -> dict:
             )
         out = bfs_distances(
             spark, agg, src_df, max_iter=args.max_iter, ckpt_dir=args.ckpt,
-            num_partitions=args.partitions,
+            num_partitions=args.partitions, ckpt_every=args.ckpt_every,
         )
         manifest_algo = "bfs"
     elif args.algo == "sssp":
@@ -150,7 +157,7 @@ def main(argv: list[str] | None = None) -> dict:
             )
         out = shortest_paths(
             spark, agg, src_df, max_iter=args.max_iter, ckpt_dir=args.ckpt,
-            num_partitions=args.partitions,
+            num_partitions=args.partitions, ckpt_every=args.ckpt_every,
         )
         manifest_algo = "sssp"
     elif args.algo == "scc":
