@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--n-users", type=int, default=None)
     p.add_argument(
         "--ckpt-every", type=int, default=1,
-        help="kcore/bfs/sssp only: fuse this many supersteps per "
+        help="kcore/bfs/sssp/closeness only: fuse this many supersteps per "
              "checkpointed job (superstep fusion; results are "
              "cadence-independent, resume granularity coarsens to the "
              "block)",
@@ -178,7 +178,7 @@ def main(argv: list[str] | None = None) -> dict:
 
         out = closeness_estimate(
             spark, agg, k=args.k, max_iter=args.max_iter, ckpt_dir=args.ckpt,
-            num_partitions=args.partitions,
+            num_partitions=args.partitions, ckpt_every=args.ckpt_every,
         )
         manifest_algo = "bfs_per_source"
     elif args.algo == "betweenness":

@@ -49,13 +49,24 @@ def bfs_per_source(
     ckpt_dir: str | None = None,
     num_partitions: int | None = None,
     resume: bool = True,
+    ckpt_every: int = 1,
 ) -> DataFrame:
     """(vid, s, dist) hop distances from EACH source s (a (vid)
     DataFrame) separately — the k BFS sweeps run as one frontier
     iteration over (vid, source)-keyed state. Unreached pairs are
     simply absent (state only ever holds reached rows — no INF
-    sentinel needed, unlike the folded bfs_distances)."""
+    sentinel needed, unlike the folded bfs_distances).
+
+    ``ckpt_every`` fuses that many rounds into one checkpointed job —
+    same soundness argument and manifest contract as
+    :func:`~..graph.bfs.bfs_distances` (monotone min, converged inner
+    rounds are no-ops, step indices stay cumulative round counts),
+    with the same lazy-localCheckpoint lineage truncation between
+    inner rounds (SURVEY §4.3 fused-lineage rule)."""
     import tempfile
+
+    if ckpt_every < 1:
+        raise ValueError(f"ckpt_every must be >= 1, got {ckpt_every}")
 
     P = resolve_partitions(spark, edges, num_partitions)
     sym = symmetrize(edges).repartition(P, "src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -90,18 +101,18 @@ def bfs_per_source(
         if resumed is not None:
             state, start = resumed, last
 
-    changed = 1
-    for step in range(start, max_iter):
-        t0 = time.monotonic()
+    def _round(state: DataFrame, obs_m: Observation | None) -> DataFrame:
+        """One (vid, source)-keyed BFS round as a plan transform —
+        chainable without materialization (superstep fusion)."""
         frontier = state.filter("chg").select("vid", "s", "dist")
         msgs = sym.join(frontier.hint("SHUFFLE_HASH"), sym.src == frontier.vid).select(
             sym.dst.alias("vid"), "s", (F.col("dist") + 1).alias("dist")
         )
-        obs_m = Observation(f"bfsps_msgs_{step + 1}")
-        msgs = msgs.observe(obs_m, F.count("*").alias("msg_rows"))
+        if obs_m is not None:
+            msgs = msgs.observe(obs_m, F.count("*").alias("msg_rows"))
         # min(odist) trick from CC: only the unioned self-rows carry
         # odist, so a NULL min(odist) means (vid, s) was just reached
-        new = (
+        return (
             state.select("vid", "s", "dist", F.col("dist").alias("odist"))
             .unionByName(
                 msgs.withColumn("odist", F.lit(None).cast("long"))
@@ -113,16 +124,40 @@ def bfs_per_source(
                 F.coalesce(F.col("dist") < F.col("odist"), F.lit(True)).alias("chg"),
             )
         )
-        obs = Observation(f"bfsps_step_{step + 1}")
-        observed = new.observe(obs, F.sum(F.col("chg").cast("long")).alias("changed"))
-        written = ckpt.write(observed, step + 1)
+
+    changed = 1
+    rounds = start
+    while rounds < max_iter:
+        t0 = time.monotonic()
+        block = min(ckpt_every, max_iter - rounds)
+        obs_m = Observation(f"bfsps_msgs_{rounds + block}")
+        for i in range(block):
+            # message metrics ride the LAST fused round
+            state = _round(state, obs_m if i == block - 1 else None)
+            if i < block - 1:
+                # lineage truncation between fused rounds — see
+                # bfs_distances / SURVEY §4.3 (s^k plan blowup)
+                state = state.localCheckpoint(eager=False)
+        obs = Observation(f"bfsps_step_{rounds + block}")
+        observed = state.observe(obs, F.sum(F.col("chg").cast("long")).alias("changed"))
+        written = ckpt.write(observed, rounds + block)
         changed = int(obs.get["changed"] or 0)
+        # AQE empty-relation propagation can prune the CollectMetrics
+        # node obs_m rides when the block overshot convergence (empty
+        # frontier ⇒ empty message stream) — which happens exactly
+        # when 0 is the true value (same contract as kcore).
+        try:
+            msg_rows = int(obs_m.get["msg_rows"] or 0)
+        except Exception:
+            msg_rows = 0
         _annotate(
-            ckpt, step + 1,
-            {"changed": changed, "msg_rows": int(obs_m.get["msg_rows"] or 0)},
+            ckpt, rounds + block,
+            {"changed": changed, "msg_rows": msg_rows,
+             "rounds_in_block": block},
             int((time.monotonic() - t0) * 1000),
         )
         state = written
+        rounds += block
         if changed == 0:
             break
     sym.unpersist()
@@ -136,6 +171,7 @@ def closeness_estimate(
     max_iter: int = 100,
     ckpt_dir: str | None = None,
     num_partitions: int | None = None,
+    ckpt_every: int = 1,
 ) -> DataFrame:
     """(vid, n_seen, closeness_est, harmonic_est) for every vertex
     reached by ≥1 of the k deterministic hash-sampled seeds."""
@@ -148,7 +184,7 @@ def closeness_estimate(
     )
     d = bfs_per_source(
         spark, edges, seeds, max_iter=max_iter, ckpt_dir=ckpt_dir,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, ckpt_every=ckpt_every,
     )
     agg = d.groupBy("vid").agg(
         F.count("*").alias("n_seen"),
@@ -175,6 +211,7 @@ def eccentricity_sample(
     max_iter: int = 100,
     ckpt_dir: str | None = None,
     num_partitions: int | None = None,
+    ckpt_every: int = 1,
 ) -> DataFrame:
     """(s, ecc, n_reached) — the eccentricity of each of the k
     deterministic hash-sampled seeds (within its own component).
@@ -188,7 +225,7 @@ def eccentricity_sample(
     seeds = verts.orderBy(F.xxhash64("vid").asc(), F.col("vid").asc()).limit(k)
     d = bfs_per_source(
         spark, edges, seeds, max_iter=max_iter, ckpt_dir=ckpt_dir,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, ckpt_every=ckpt_every,
     )
     return d.groupBy("s").agg(
         F.max("dist").alias("ecc"), F.count("*").alias("n_reached")

@@ -136,3 +136,57 @@ def test_eccentricity_sample_exact(spark, agg_edges, nx_graph, tmp_path):
     for s in got:
         dists = nx.single_source_shortest_path_length(nx_graph, s)
         assert got[s] == (max(dists.values()), len(dists))
+
+
+def test_bfs_per_source_fused_equals_unfused(spark, agg_edges, nx_graph, tmp_path):
+    """ckpt_every > 1 composes (vid, source)-keyed BFS rounds into one
+    checkpointed job: results identical to cadence 1 (and to networkx),
+    step indices count ROUNDS, fewer checkpoints on disk, and resume
+    across a cadence change converges to the same fixpoint."""
+    import glob
+    import json
+    import os
+
+    vids = sorted(nx_graph.nodes())
+    srcs = [vids[0], vids[len(vids) // 3], vids[-1]]
+    src_df = spark.createDataFrame([(v,) for v in srcs], "vid long")
+    base = {
+        (r.vid, r.s): r.dist
+        for r in bfs_per_source(
+            spark, agg_edges, src_df, num_partitions=8,
+            ckpt_dir=str(tmp_path / "c1"),
+        ).collect()
+    }
+    fused = {
+        (r.vid, r.s): r.dist
+        for r in bfs_per_source(
+            spark, agg_edges, src_df, num_partitions=8,
+            ckpt_dir=str(tmp_path / "c3"), ckpt_every=3,
+        ).collect()
+    }
+    want = {
+        (v, s): d
+        for s in srcs
+        for v, d in nx.single_source_shortest_path_length(nx_graph, s).items()
+    }
+    assert fused == base == want
+
+    m1 = glob.glob(os.path.join(str(tmp_path / "c1"), "bfs_per_source", "manifest_*.json"))
+    m3 = sorted(glob.glob(os.path.join(str(tmp_path / "c3"), "bfs_per_source", "manifest_*.json")))
+    assert len(m3) < len(m1)
+    with open(m3[0]) as fh:
+        first = json.load(fh)
+    assert first["superstep"] == first["metrics"]["rounds_in_block"] == 3
+
+    # interrupted fused run resumes under a different cadence
+    ck = str(tmp_path / "fresume")
+    bfs_per_source(spark, agg_edges, src_df, num_partitions=8, max_iter=4,
+                   ckpt_dir=ck, ckpt_every=2)
+    resumed = {
+        (r.vid, r.s): r.dist
+        for r in bfs_per_source(
+            spark, agg_edges, src_df, num_partitions=8, ckpt_dir=ck,
+            ckpt_every=5,
+        ).collect()
+    }
+    assert resumed == want
